@@ -1,0 +1,487 @@
+"""Single-source configuration for the TPU-native framework.
+
+Design: one immutable dataclass tree, resolved exactly once per run by
+`resolve_config(preset=..., **overrides)`. This deliberately collapses the
+reference's three config tiers (dataclass singleton `src/config.py:221`,
+module dicts `MULTIMODAL_CONFIG` `src/train_multimodal.py:32-55` /
+`SMALL_DATA_CONFIG` `src/train_small_data.py:28-46`, and per-CLI argparse
+mutation) into presets over a single schema, eliminating the documented
+drift (e.g. max_text_length 128 vs 256).
+
+Sections mirror the reference's capability surface
+(`/root/reference/src/config.py:20-178`): data, cnn_encoder, text_encoder,
+fusion, classifier, training, evaluation, explainability — plus a new
+`mesh` section for TPU device-mesh / sharding configuration, which the
+reference (single-GPU only) has no equivalent of.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field, fields, replace
+from pathlib import Path
+from typing import Any, Dict, List, Mapping, Optional, Tuple
+
+BASE_DIR = Path(__file__).resolve().parent.parent
+DATA_DIR = BASE_DIR / "data"
+RESULTS_DIR = BASE_DIR / "results"
+CHECKPOINTS_DIR = BASE_DIR / "checkpoints"
+
+# Canonical label order for the 10 rare syndromes. This is the single
+# source of truth (the reference keeps the same ordering in
+# `src/config.py:196-209` and `scripts/reorganize_images.py:26-37`).
+SYNDROME_NAMES: Tuple[str, ...] = (
+    "Cornelia de Lange Syndrome",
+    "Williams-Beuren Syndrome",
+    "Noonan Syndrome",
+    "Kabuki Syndrome",
+    "KBG Syndrome",
+    "Angelman Syndrome",
+    "Rubinstein-Taybi Syndrome",
+    "Smith-Magenis Syndrome",
+    "Nicolaides-Baraitser Syndrome",
+    "22q11.2 Deletion Syndrome",
+)
+
+# Flat-layout filename prefixes (SYN_<code>_NNN.png) → syndrome name,
+# matching the reference's PREFIX_TO_SYNDROME map
+# (`src/image_dataset_loader.py:165-176`).
+PREFIX_TO_SYNDROME: Dict[str, str] = {
+    "CdLS": "Cornelia de Lange Syndrome",
+    "WBS": "Williams-Beuren Syndrome",
+    "NS": "Noonan Syndrome",
+    "KS": "Kabuki Syndrome",
+    "KBG": "KBG Syndrome",
+    "AS": "Angelman Syndrome",
+    "RSTS": "Rubinstein-Taybi Syndrome",
+    "SMS": "Smith-Magenis Syndrome",
+    "NBS": "Nicolaides-Baraitser Syndrome",
+    "22Q": "22q11.2 Deletion Syndrome",
+}
+
+# Folder names (both underscore and human-readable forms) → syndrome,
+# covering the dual naming the reference handles via FOLDER_TO_SYNDROME
+# (`src/train_small_data.py:116-180`, `src/train_multimodal.py:226-246`).
+FOLDER_TO_SYNDROME: Dict[str, str] = {}
+for _name in SYNDROME_NAMES:
+    FOLDER_TO_SYNDROME[_name] = _name
+    FOLDER_TO_SYNDROME[_name.replace(" ", "_")] = _name
+    FOLDER_TO_SYNDROME[_name.replace(" ", "-")] = _name
+for _code, _name in PREFIX_TO_SYNDROME.items():
+    FOLDER_TO_SYNDROME[f"SYN_{_code}"] = _name
+    FOLDER_TO_SYNDROME[_code] = _name
+
+
+def syndrome_index(name: str) -> int:
+    return SYNDROME_NAMES.index(name)
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Data pipeline configuration (ref `src/config.py:20-54`)."""
+
+    image_size: int = 224
+    image_channels: int = 3
+
+    max_text_length: int = 128
+    text_model_name: str = "dmis-lab/biobert-base-cased-v1.2"
+
+    # Search roots for the image corpus / metadata. The first existing
+    # path wins; the read-only reference corpus is a valid fallback.
+    data_dirs: Tuple[str, ...] = (
+        str(DATA_DIR),
+        "/root/reference/data",
+    )
+    image_subdirs: Tuple[str, ...] = (
+        "images_augmented",
+        "images_organized",
+        "images",
+    )
+    clinical_descriptions: str = "syndrome_clinical_descriptions.json"
+    phenotype_metadata: str = "phenotype_metadata.csv"
+
+    # Corpora (may be absent; parsers degrade gracefully like the
+    # reference's warn-and-continue behavior, `src/text_dataset_loader.py:52-63`).
+    orphadata_diseases: str = "orphadata/orphadata_diseases.xml"
+    orphadata_phenotypes: str = "orphadata/orphadata_phenotypes.xml"
+    orphadata_genes: str = "orphadata/orphadata_genes.xml"
+    hpo_ontology: str = "hpo/hp.obo"
+    hpo_annotations: str = "hpo/phenotype.hpoa"
+    fgdd_dir: str = "FGDD"
+
+    train_ratio: float = 0.70
+    val_ratio: float = 0.15
+    test_ratio: float = 0.15
+
+    augment_images: bool = True
+    augmentation_factor: int = 1  # online dataset multiplication (×N)
+    horizontal_flip_prob: float = 0.5
+    rotation_degrees: float = 15.0
+    brightness_factor: float = 0.2
+    contrast_factor: float = 0.2
+    saturation_factor: float = 0.2
+    crop_scale_min: float = 0.8
+    random_erasing_prob: float = 0.0
+
+    use_weighted_sampling: bool = True
+
+    # Host pipeline
+    prefetch_batches: int = 2
+    drop_remainder_train: bool = True
+
+
+@dataclass(frozen=True)
+class CNNEncoderConfig:
+    """Image encoder (ref `src/config.py:57-66`)."""
+
+    backbone: str = "resnet50"  # resnet50 | efficientnet_b0
+    pretrained: bool = False  # no network egress; converted weights optional
+    embedding_dim: int = 512
+    freeze_backbone: bool = False
+    freeze_stages: int = 0  # freeze first N stages (stem counts as stage 0)
+    dropout: float = 0.5
+
+
+@dataclass(frozen=True)
+class TextEncoderConfig:
+    """Clinical-text encoder (ref `src/config.py:69-79`).
+
+    A BERT-base-compatible transformer; weights loadable from converted
+    BioBERT / ClinicalBERT / PubMedBERT checkpoints when available.
+    """
+
+    model_name: str = "dmis-lab/biobert-base-cased-v1.2"
+    vocab_size: int = 28996  # bert-base-cased vocab (BioBERT-compatible)
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    embedding_dim: int = 768
+    max_length: int = 128
+    freeze_embeddings: bool = False
+    freeze_layers: int = 0
+    dropout: float = 0.1
+    use_pooler_output: bool = False  # CLS token when False
+
+
+@dataclass(frozen=True)
+class FusionConfig:
+    """Multimodal fusion (ref `src/config.py:82-94`)."""
+
+    fusion_type: str = "attention"  # concatenation | attention | gated
+    hidden_dim: int = 512
+    num_attention_heads: int = 8
+    dropout: float = 0.3
+    use_residual: bool = True
+    image_proj_dim: int = 512
+    text_proj_dim: int = 768
+
+
+@dataclass(frozen=True)
+class ClassifierConfig:
+    """Classification head (ref `src/config.py:97-105`)."""
+
+    hidden_dims: Tuple[int, ...] = (256, 128)
+    num_classes: int = 10
+    dropout: float = 0.5
+    activation: str = "relu"  # relu | gelu | leaky_relu
+
+
+@dataclass(frozen=True)
+class TrainingConfig:
+    """Training runtime (ref `src/config.py:108-148`)."""
+
+    batch_size: int = 8
+    num_epochs: int = 50
+    learning_rate: float = 5e-5
+    weight_decay: float = 0.05
+
+    optimizer: str = "adamw"  # adam | adamw | sgd
+    scheduler: str = "cosine"  # cosine | warm_restarts | step | plateau | constant
+    warmup_epochs: int = 5
+    # warm-restarts parameters (ref CosineAnnealingWarmRestarts(T_0=10, T_mult=2))
+    restart_period_epochs: int = 10
+    restart_mult: int = 2
+
+    label_smoothing: float = 0.1
+    lr_decay_factor: float = 0.1
+    lr_decay_epochs: Tuple[int, ...] = (30, 60, 90)
+    # plateau scheduler
+    plateau_patience: int = 5
+
+    # Per-component LR multipliers (ref `src/train_multimodal.py:422-454`).
+    lr_mult_cnn: float = 1.0
+    lr_mult_text: float = 1.0
+    lr_mult_fusion: float = 1.0
+    lr_mult_classifier: float = 1.0
+
+    early_stopping: bool = True
+    patience: int = 15
+    min_delta: float = 1e-3
+    # which validation metric selects the best checkpoint:
+    #   "val_loss" (generic Trainer) or "val_acc" (multimodal/small-data trainers)
+    best_metric: str = "val_loss"
+
+    save_best_only: bool = False
+    checkpoint_dir: str = str(CHECKPOINTS_DIR)
+
+    # TPU-native mixed precision: bf16 activations/compute, f32 params &
+    # optimizer state (replaces the reference's CUDA AMP GradScaler —
+    # bf16 needs no loss scaling).
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+
+    gradient_clip_val: float = 1.0
+    use_class_weights: bool = True
+    nan_guard: bool = True  # skip non-finite update steps, count them
+
+    seed: int = 42
+    log_every_steps: int = 10
+
+
+@dataclass(frozen=True)
+class EvaluationConfig:
+    """Evaluation (ref `src/config.py:151-167`)."""
+
+    metrics: Tuple[str, ...] = (
+        "accuracy",
+        "precision",
+        "recall",
+        "f1",
+        "confusion_matrix",
+        "roc_auc",
+    )
+    per_class_metrics: bool = True
+    save_predictions: bool = True
+    results_dir: str = str(RESULTS_DIR)
+    eval_batch_size: int = 16
+
+
+@dataclass(frozen=True)
+class ExplainabilityConfig:
+    """Explainability (ref `src/config.py:170-178`)."""
+
+    use_gradcam: bool = True
+    gradcam_layer: str = "stage4"  # last conv stage (ResNet layer4 analogue)
+    use_attention_viz: bool = True
+    save_visualizations: bool = True
+    num_samples_to_visualize: int = 10
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """TPU device mesh / sharding (new; no reference equivalent — the
+    reference is single-process single-GPU, SURVEY.md §2.3)."""
+
+    # Axis sizes; -1 on the data axis means "all remaining devices".
+    data_axis: int = -1
+    model_axis: int = 1
+    axis_names: Tuple[str, ...] = ("data", "model")
+    # Force a backend-visible device count (tests use CPU×8 via XLA_FLAGS).
+    allow_cpu_fallback: bool = True
+
+
+@dataclass(frozen=True)
+class Config:
+    """Master configuration."""
+
+    data: DataConfig = field(default_factory=DataConfig)
+    cnn_encoder: CNNEncoderConfig = field(default_factory=CNNEncoderConfig)
+    text_encoder: TextEncoderConfig = field(default_factory=TextEncoderConfig)
+    fusion: FusionConfig = field(default_factory=FusionConfig)
+    classifier: ClassifierConfig = field(default_factory=ClassifierConfig)
+    training: TrainingConfig = field(default_factory=TrainingConfig)
+    evaluation: EvaluationConfig = field(default_factory=EvaluationConfig)
+    explainability: ExplainabilityConfig = field(default_factory=ExplainabilityConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    syndrome_names: Tuple[str, ...] = SYNDROME_NAMES
+    seed: int = 42
+
+    @property
+    def num_classes(self) -> int:
+        return self.classifier.num_classes
+
+    # ---- serialization ----
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, default=str)
+
+    @classmethod
+    def from_dict(cls, d: Mapping[str, Any]) -> "Config":
+        kwargs: Dict[str, Any] = {}
+        section_types = {f.name: f.type for f in fields(cls)}
+        for f in fields(cls):
+            if f.name not in d:
+                continue
+            v = d[f.name]
+            sub = _SECTIONS.get(f.name)
+            if sub is not None and isinstance(v, Mapping):
+                kwargs[f.name] = _dataclass_from_dict(sub, v)
+            elif f.name == "syndrome_names":
+                kwargs[f.name] = tuple(v)
+            else:
+                kwargs[f.name] = v
+        del section_types
+        return cls(**kwargs)
+
+
+_SECTIONS: Dict[str, type] = {
+    "data": DataConfig,
+    "cnn_encoder": CNNEncoderConfig,
+    "text_encoder": TextEncoderConfig,
+    "fusion": FusionConfig,
+    "classifier": ClassifierConfig,
+    "training": TrainingConfig,
+    "evaluation": EvaluationConfig,
+    "explainability": ExplainabilityConfig,
+    "mesh": MeshConfig,
+}
+
+
+def _dataclass_from_dict(cls: type, d: Mapping[str, Any]):
+    kwargs = {}
+    for f in fields(cls):
+        if f.name in d:
+            v = d[f.name]
+            if isinstance(v, list):
+                v = tuple(v)
+            kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Presets — replace the reference's MULTIMODAL_CONFIG / SMALL_DATA_CONFIG
+# module dicts with named overlays over the single schema.
+# ---------------------------------------------------------------------------
+
+def _apply_overrides(cfg: Config, overrides: Mapping[str, Any]) -> Config:
+    """Apply dotted-path overrides like {"training.learning_rate": 2e-5}."""
+    for key, value in overrides.items():
+        parts = key.split(".")
+        if len(parts) == 1:
+            if not hasattr(cfg, parts[0]):
+                raise KeyError(f"Unknown config key: {key}")
+            cfg = replace(cfg, **{parts[0]: value})
+        elif len(parts) == 2:
+            section_name, field_name = parts
+            section = getattr(cfg, section_name)
+            if not hasattr(section, field_name):
+                raise KeyError(f"Unknown config key: {key}")
+            if isinstance(value, list):
+                value = tuple(value)
+            cfg = replace(cfg, **{section_name: replace(section, **{field_name: value})})
+        else:
+            raise KeyError(f"Config keys nest at most one level: {key}")
+    return cfg
+
+
+# Multimodal flagship preset (semantics of MULTIMODAL_CONFIG,
+# `src/train_multimodal.py:32-55`): freeze CNN first 3 stages + BERT first
+# 6 layers, lr 2e-5 with per-component multipliers (CNN 0.1×, text 0.5×),
+# 256-token text, ×10 online augmentation, warm-restart cosine schedule,
+# best checkpoint by validation accuracy.
+MULTIMODAL_PRESET: Dict[str, Any] = {
+    "data.max_text_length": 256,
+    "data.augmentation_factor": 10,
+    "text_encoder.max_length": 256,
+    "text_encoder.freeze_layers": 6,
+    "cnn_encoder.freeze_stages": 3,
+    "training.batch_size": 8,
+    "training.num_epochs": 60,
+    "training.learning_rate": 2e-5,
+    "training.lr_mult_cnn": 0.1,
+    "training.lr_mult_text": 0.5,
+    "training.scheduler": "warm_restarts",
+    "training.best_metric": "val_acc",
+    "training.label_smoothing": 0.1,
+    "training.weight_decay": 0.01,
+}
+
+# Small-data image-only preset (semantics of SMALL_DATA_CONFIG,
+# `src/train_small_data.py:28-46`): heavy regularization for the 50-image
+# corpus. NOTE: the reference's deliberate val-set noise ("targeting
+# 93-96%") is NOT reproduced — validation here is clean.
+SMALL_DATA_PRESET: Dict[str, Any] = {
+    "data.augmentation_factor": 20,
+    "cnn_encoder.freeze_stages": 3,
+    "cnn_encoder.dropout": 0.6,
+    "classifier.dropout": 0.6,
+    "training.batch_size": 8,
+    "training.num_epochs": 50,
+    "training.learning_rate": 1e-4,
+    "training.label_smoothing": 0.12,
+    "training.scheduler": "warm_restarts",
+    "training.best_metric": "val_acc",
+}
+
+PRESETS: Dict[str, Dict[str, Any]] = {
+    "default": {},
+    "multimodal": MULTIMODAL_PRESET,
+    "small_data": SMALL_DATA_PRESET,
+}
+
+
+def resolve_config(
+    preset: str = "default",
+    overrides: Optional[Mapping[str, Any]] = None,
+    **kw_overrides: Any,
+) -> Config:
+    """Build the run config: defaults → preset overlay → explicit overrides.
+
+    `overrides` / kwargs use dotted paths with '.' or '__' separators,
+    e.g. resolve_config("multimodal", training__batch_size=16).
+    """
+    if preset not in PRESETS:
+        raise KeyError(f"Unknown preset {preset!r}; available: {sorted(PRESETS)}")
+    cfg = Config()
+    cfg = _apply_overrides(cfg, PRESETS[preset])
+    merged: Dict[str, Any] = {}
+    if overrides:
+        merged.update(overrides)
+    for k, v in kw_overrides.items():
+        merged[k.replace("__", ".")] = v
+    cfg = _apply_overrides(cfg, merged)
+    return cfg
+
+
+_default_config: Optional[Config] = None
+
+
+def get_config() -> Config:
+    """Default config instance (immutable; use resolve_config for runs)."""
+    global _default_config
+    if _default_config is None:
+        _default_config = Config()
+    return _default_config
+
+
+def find_data_file(cfg: Config, relpath: str) -> Optional[Path]:
+    """Resolve a data file against the configured search roots."""
+    for root in cfg.data.data_dirs:
+        p = Path(root) / relpath
+        if p.exists():
+            return p
+    return None
+
+
+def find_image_dir(cfg: Config) -> Optional[Path]:
+    """First existing image directory across roots × preferred subdirs."""
+    for sub in cfg.data.image_subdirs:
+        for root in cfg.data.data_dirs:
+            p = Path(root) / sub
+            if p.is_dir():
+                return p
+    return None
+
+
+def ensure_dirs(cfg: Config) -> None:
+    os.makedirs(cfg.training.checkpoint_dir, exist_ok=True)
+    os.makedirs(cfg.evaluation.results_dir, exist_ok=True)

@@ -1,0 +1,34 @@
+"""Test configuration: force the CPU backend with 8 virtual devices so
+multi-device sharding paths are exercised without TPU hardware."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The image pre-configures jax_platforms='axon,cpu' (TPU-tunnel first);
+# the env var alone doesn't override it, so force CPU here before any
+# backend is initialized.
+jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def mesh8():
+    from multimodal_rare_disease_tpu.parallel import create_mesh
+
+    return create_mesh()
+
+
+@pytest.fixture(scope="session")
+def default_cfg():
+    from multimodal_rare_disease_tpu.config import resolve_config
+
+    return resolve_config()

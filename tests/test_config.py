@@ -1,0 +1,71 @@
+import json
+
+from multimodal_rare_disease_tpu.config import (
+    SYNDROME_NAMES,
+    PREFIX_TO_SYNDROME,
+    Config,
+    resolve_config,
+)
+
+
+def test_syndrome_names_canonical():
+    assert len(SYNDROME_NAMES) == 10
+    assert SYNDROME_NAMES[0] == "Cornelia de Lange Syndrome"
+    assert SYNDROME_NAMES[-1] == "22q11.2 Deletion Syndrome"
+    assert len(set(SYNDROME_NAMES)) == 10
+
+
+def test_prefix_map_covers_all_classes():
+    assert set(PREFIX_TO_SYNDROME.values()) == set(SYNDROME_NAMES)
+
+
+def test_default_config():
+    cfg = resolve_config()
+    assert cfg.data.image_size == 224
+    assert cfg.data.max_text_length == 128
+    assert cfg.classifier.num_classes == 10
+    assert cfg.training.optimizer == "adamw"
+    assert cfg.seed == 42
+
+
+def test_multimodal_preset_no_drift():
+    cfg = resolve_config("multimodal")
+    # single-source: the preset updates both places that used to drift
+    assert cfg.data.max_text_length == 256
+    assert cfg.text_encoder.max_length == 256
+    assert cfg.training.learning_rate == 2e-5
+    assert cfg.training.lr_mult_cnn == 0.1
+    assert cfg.training.best_metric == "val_acc"
+    assert cfg.cnn_encoder.freeze_stages == 3
+    assert cfg.text_encoder.freeze_layers == 6
+
+
+def test_overrides_dotted_and_dunder():
+    cfg = resolve_config("default", {"training.batch_size": 32}, data__image_size=160)
+    assert cfg.training.batch_size == 32
+    assert cfg.data.image_size == 160
+
+
+def test_unknown_key_raises():
+    import pytest
+
+    with pytest.raises(KeyError):
+        resolve_config("default", {"training.nope": 1})
+
+
+def test_roundtrip_json():
+    cfg = resolve_config("multimodal")
+    d = json.loads(cfg.to_json())
+    cfg2 = Config.from_dict(d)
+    assert cfg2.training.learning_rate == cfg.training.learning_rate
+    assert cfg2.data.max_text_length == 256
+    assert tuple(cfg2.syndrome_names) == SYNDROME_NAMES
+
+
+def test_config_immutable():
+    import dataclasses
+    import pytest
+
+    cfg = resolve_config()
+    with pytest.raises(dataclasses.FrozenInstanceError):
+        cfg.seed = 1
