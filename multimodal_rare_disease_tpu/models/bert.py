@@ -1,0 +1,261 @@
+"""BERT-base clinical text encoder, TPU-native.
+
+Architecture-compatible with the reference's HF `AutoModel` BERT encoders
+(BioBERT / ClinicalBERT / PubMedBERT, `src/text_encoder.py:27-239`):
+word+position+segment embeddings → 12 post-LN transformer layers → CLS
+token (default) or tanh pooler. Converted HF checkpoints load directly
+into this module's param tree (see `models/convert.py`).
+
+All shapes are static (pad-to-max tokenization), attention is the
+standard XLA softmax(QK^T/sqrt(d))V which maps straight onto the MXU in
+bf16; per-layer attention probabilities are exposed for the
+explainability path (ref `src/text_encoder.py:151-179`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from multimodal_rare_disease_tpu.config import TextEncoderConfig
+
+Dtype = Any
+
+
+class BertSelfAttention(nn.Module):
+    hidden_size: int
+    num_heads: int
+    dropout: float
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, attention_bias, train: bool = False,
+                 output_attentions: bool = False):
+        B, T, H = hidden.shape
+        d = self.hidden_size // self.num_heads
+        dense = lambda name: nn.DenseGeneral(  # noqa: E731
+            (self.num_heads, d), axis=-1, dtype=self.dtype,
+            param_dtype=self.param_dtype, name=name)
+        q = dense("query")(hidden)  # [B,T,h,d]
+        k = dense("key")(hidden)
+        v = dense("value")(hidden)
+
+        scores = jnp.einsum("bthd,bshd->bhts", q, k) / jnp.sqrt(d).astype(self.dtype)
+        scores = scores + attention_bias  # [B,1,1,T] additive mask
+        probs = nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
+        probs_dropped = nn.Dropout(rate=self.dropout)(probs, deterministic=not train)
+        ctx = jnp.einsum("bhts,bshd->bthd", probs_dropped, v)
+        out = nn.DenseGeneral(
+            H, axis=(-2, -1), dtype=self.dtype, param_dtype=self.param_dtype,
+            name="output")(ctx)
+        if output_attentions:
+            return out, probs
+        return out, None
+
+
+class BertLayer(nn.Module):
+    hidden_size: int
+    num_heads: int
+    intermediate_size: int
+    dropout: float
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, attention_bias, train: bool = False,
+                 output_attentions: bool = False):
+        attn_out, probs = BertSelfAttention(
+            self.hidden_size, self.num_heads, self.dropout,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="attention",
+        )(hidden, attention_bias, train=train, output_attentions=output_attentions)
+        attn_out = nn.Dropout(rate=self.dropout)(attn_out, deterministic=not train)
+        hidden = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype,
+                              param_dtype=self.param_dtype,
+                              name="attention_ln")(hidden + attn_out)
+
+        inter = nn.Dense(self.intermediate_size, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name="intermediate")(hidden)
+        inter = nn.gelu(inter, approximate=False)
+        out = nn.Dense(self.hidden_size, dtype=self.dtype,
+                       param_dtype=self.param_dtype, name="output")(inter)
+        out = nn.Dropout(rate=self.dropout)(out, deterministic=not train)
+        hidden = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype,
+                              param_dtype=self.param_dtype,
+                              name="output_ln")(hidden + out)
+        return hidden, probs
+
+
+class BertEncoder(nn.Module):
+    """BERT-base encoder returning a dict of outputs."""
+
+    vocab_size: int = 28996
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: jnp.ndarray,        # [B, T] int32
+        attention_mask: jnp.ndarray,   # [B, T] {0,1}
+        token_type_ids: Optional[jnp.ndarray] = None,
+        train: bool = False,
+        output_hidden_states: bool = False,
+        output_attentions: bool = False,
+    ) -> Dict[str, Any]:
+        B, T = input_ids.shape
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+        positions = jnp.arange(T)[None, :]
+
+        word = nn.Embed(self.vocab_size, self.hidden_size,
+                        param_dtype=self.param_dtype, dtype=self.dtype,
+                        name="word_embeddings")(input_ids)
+        pos = nn.Embed(self.max_position_embeddings, self.hidden_size,
+                       param_dtype=self.param_dtype, dtype=self.dtype,
+                       name="position_embeddings")(positions)
+        seg = nn.Embed(self.type_vocab_size, self.hidden_size,
+                       param_dtype=self.param_dtype, dtype=self.dtype,
+                       name="token_type_embeddings")(token_type_ids)
+        hidden = word + pos + seg
+        hidden = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype,
+                              param_dtype=self.param_dtype,
+                              name="embeddings_ln")(hidden)
+        hidden = nn.Dropout(rate=self.dropout)(hidden, deterministic=not train)
+
+        # additive attention bias: 0 for real tokens, large negative for pad
+        bias = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32)) * -1e9
+        bias = bias.astype(self.dtype)
+
+        all_hidden = [hidden] if output_hidden_states else None
+        all_attn = [] if output_attentions else None
+        for i in range(self.num_layers):
+            hidden, probs = BertLayer(
+                self.hidden_size, self.num_heads, self.intermediate_size,
+                self.dropout, dtype=self.dtype, param_dtype=self.param_dtype,
+                name=f"layer{i}",
+            )(hidden, bias, train=train, output_attentions=output_attentions)
+            if output_hidden_states:
+                all_hidden.append(hidden)
+            if output_attentions:
+                all_attn.append(probs)
+
+        cls = hidden[:, 0, :]
+        pooled = nn.Dense(self.hidden_size, dtype=self.dtype,
+                          param_dtype=self.param_dtype, name="pooler")(cls)
+        pooled = jnp.tanh(pooled)
+
+        out: Dict[str, Any] = {
+            "last_hidden_state": hidden,
+            "cls": cls,
+            "pooler_output": pooled,
+        }
+        if output_hidden_states:
+            out["hidden_states"] = tuple(all_hidden)
+        if output_attentions:
+            out["attentions"] = tuple(all_attn)
+        return out
+
+
+class TextEncoder(nn.Module):
+    """Text encoder wrapper: BERT → [B, 768] embedding (+ optional projection).
+
+    Parity with the reference's `TextEncoder` / `TextEncoderWithProjection`
+    (`src/text_encoder.py:27-269`): embedding = CLS token by default, or
+    the tanh pooler when use_pooler_output; dropout on top; optional
+    projection head to `projection_dim`.
+    """
+
+    vocab_size: int = 28996
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    bert_dropout: float = 0.1
+    dropout: float = 0.1
+    use_pooler_output: bool = False
+    projection_dim: int = 0  # 0 = no projection (raw 768-d)
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.bert = BertEncoder(
+            vocab_size=self.vocab_size,
+            hidden_size=self.hidden_size,
+            num_layers=self.num_layers,
+            num_heads=self.num_heads,
+            intermediate_size=self.intermediate_size,
+            max_position_embeddings=self.max_position_embeddings,
+            type_vocab_size=self.type_vocab_size,
+            dropout=self.bert_dropout,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="bert",
+        )
+        self.drop = nn.Dropout(rate=self.dropout)
+        if self.projection_dim:
+            self.proj = nn.Dense(self.projection_dim, dtype=self.dtype,
+                                 param_dtype=self.param_dtype, name="projection")
+
+    def __call__(
+        self,
+        input_ids: jnp.ndarray,
+        attention_mask: jnp.ndarray,
+        token_type_ids: Optional[jnp.ndarray] = None,
+        train: bool = False,
+        output_hidden_states: bool = False,
+        output_attentions: bool = False,
+    ):
+        out = self.bert(
+            input_ids,
+            attention_mask,
+            token_type_ids=token_type_ids,
+            train=train,
+            output_hidden_states=output_hidden_states,
+            output_attentions=output_attentions,
+        )
+        emb = out["pooler_output"] if self.use_pooler_output else out["cls"]
+        emb = self.drop(emb, deterministic=not train)
+        if self.projection_dim:
+            emb = self.proj(emb)
+            emb = nn.relu(emb)
+        if output_hidden_states or output_attentions:
+            return emb, out
+        return emb
+
+
+def create_text_encoder(
+    cfg: TextEncoderConfig,
+    dtype: Dtype = jnp.float32,
+    param_dtype: Dtype = jnp.float32,
+    projection_dim: int = 0,
+    name: str = None,
+) -> TextEncoder:
+    """Factory, parity with `create_text_encoder` (`src/text_encoder.py:272`)."""
+    return TextEncoder(
+        vocab_size=cfg.vocab_size,
+        hidden_size=cfg.hidden_size,
+        num_layers=cfg.num_layers,
+        num_heads=cfg.num_heads,
+        intermediate_size=cfg.intermediate_size,
+        max_position_embeddings=cfg.max_position_embeddings,
+        type_vocab_size=cfg.type_vocab_size,
+        bert_dropout=cfg.dropout,
+        dropout=cfg.dropout,
+        use_pooler_output=cfg.use_pooler_output,
+        projection_dim=projection_dim,
+        dtype=dtype,
+        param_dtype=param_dtype,
+        name=name,
+    )
