@@ -1,0 +1,248 @@
+"""On-device image preprocessing & augmentation.
+
+TPU-native replacement for the reference's torchvision/PIL transform
+stacks (`src/image_dataset_loader.py:80-140`, `src/train_multimodal.py:317-353`,
+`src/enhanced_augmentation.py:28-66`): the host stops at decoded uint8
+arrays; everything else — geometry, color jitter, normalization — runs
+batched on device inside the jitted step, so preprocessing overlaps with
+training and feeds the MXU without host round-trips.
+
+Design:
+- ALL geometric ops (random resized crop, rotation ±15°, horizontal flip,
+  center crop/resize) compose into ONE affine matrix per image and execute
+  as a single bilinear gather (`affine_resample`). One gather instead of
+  three separate resamples is the main bandwidth win; the reference runs
+  the equivalent chain as 3-4 separate PIL/torchvision passes per image
+  on the host.
+- Color jitter (brightness/contrast/saturation) + ImageNet normalization
+  are elementwise and fuse; a Pallas kernel (`ops/pallas/image_kernels.py`)
+  implements the uint8→normalized-f32/bf16 cast+scale chain explicitly for
+  the eval/predict fast path, with this XLA path as fallback.
+- Everything is fixed-shape and fully vmapped: [B,256,256,3] uint8 →
+  [B,224,224,3] float, per-image randomness from one folded PRNG key.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_rare_disease_tpu.config import Config
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+# ---------------------------------------------------------------------------
+# geometry: one fused affine resample
+# ---------------------------------------------------------------------------
+
+def _bilinear_sample(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray
+                     ) -> jnp.ndarray:
+    """Sample img [H,W,C] at float coords ys/xs [h,w] with edge clamping."""
+    H, W = img.shape[0], img.shape[1]
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    wy = (ys - y0)[..., None]
+    wx = (xs - x0)[..., None]
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+    y1i = jnp.clip(y0i + 1, 0, H - 1)
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+    x1i = jnp.clip(x0i + 1, 0, W - 1)
+    p00 = img[y0i, x0i]
+    p01 = img[y0i, x1i]
+    p10 = img[y1i, x0i]
+    p11 = img[y1i, x1i]
+    top = p00 * (1 - wx) + p01 * wx
+    bot = p10 * (1 - wx) + p11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+def _single_affine(img: jnp.ndarray, matrix: jnp.ndarray, out_size: int
+                   ) -> jnp.ndarray:
+    """Apply a 2x3 output→input affine map to one [H,W,C] image."""
+    ii = jnp.arange(out_size, dtype=jnp.float32)
+    jj = jnp.arange(out_size, dtype=jnp.float32)
+    gy, gx = jnp.meshgrid(ii, jj, indexing="ij")
+    ys = matrix[0, 0] * gy + matrix[0, 1] * gx + matrix[0, 2]
+    xs = matrix[1, 0] * gy + matrix[1, 1] * gx + matrix[1, 2]
+    return _bilinear_sample(img, ys, xs)
+
+
+def affine_resample(images: jnp.ndarray, matrices: jnp.ndarray, out_size: int
+                    ) -> jnp.ndarray:
+    """Batched affine warp: [B,H,W,C] × [B,2,3] → [B,out,out,C] float32.
+
+    matrices map OUTPUT pixel coords (y,x) to INPUT coords.
+    """
+    images = images.astype(jnp.float32)
+    return jax.vmap(partial(_single_affine, out_size=out_size))(images, matrices)
+
+
+def _compose_affine(
+    in_size: float,
+    out_size: float,
+    crop_scale: jnp.ndarray,     # scalar: fraction of input area to keep
+    angle_rad: jnp.ndarray,      # scalar rotation
+    flip: jnp.ndarray,           # scalar {0,1}
+    shift_y: jnp.ndarray,        # [-1,1] crop-center offset within slack
+    shift_x: jnp.ndarray,
+) -> jnp.ndarray:
+    """Build the 2x3 output→input matrix: rotate about crop center, scale
+    crop→out, translate to a random crop window, optional horizontal flip."""
+    crop_size = in_size * jnp.sqrt(crop_scale)
+    scale = crop_size / out_size
+    cos = jnp.cos(angle_rad) * scale
+    sin = jnp.sin(angle_rad) * scale
+    # flip x direction
+    fx = jnp.where(flip > 0, -1.0, 1.0)
+    # output center
+    oc = (out_size - 1) / 2.0
+    # crop center within the valid slack region
+    slack = (in_size - crop_size) / 2.0
+    cy = (in_size - 1) / 2.0 + shift_y * slack
+    cx = (in_size - 1) / 2.0 + shift_x * slack
+    # y_in = cos*(y-oc) - sin*fx*(x-oc) + cy ; x_in = sin*(y-oc) + cos*fx*(x-oc) + cx
+    a00 = cos
+    a01 = -sin * fx
+    a10 = sin
+    a11 = cos * fx
+    t0 = cy - a00 * oc - a01 * oc
+    t1 = cx - a10 * oc - a11 * oc
+    return jnp.stack([jnp.stack([a00, a01, t0]), jnp.stack([a10, a11, t1])])
+
+
+# ---------------------------------------------------------------------------
+# color
+# ---------------------------------------------------------------------------
+
+def color_jitter(images: jnp.ndarray, key: jax.Array,
+                 brightness: float, contrast: float, saturation: float
+                 ) -> jnp.ndarray:
+    """Per-image random brightness/contrast/saturation on [B,H,W,3] in [0,1]."""
+    B = images.shape[0]
+    kb, kc, ks = jax.random.split(key, 3)
+    bf = 1.0 + jax.random.uniform(kb, (B, 1, 1, 1), minval=-brightness,
+                                  maxval=brightness)
+    cf = 1.0 + jax.random.uniform(kc, (B, 1, 1, 1), minval=-contrast,
+                                  maxval=contrast)
+    sf = 1.0 + jax.random.uniform(ks, (B, 1, 1, 1), minval=-saturation,
+                                  maxval=saturation)
+    x = images * bf
+    mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+    x = (x - mean) * cf + mean
+    gray = jnp.mean(x, axis=-1, keepdims=True)
+    x = (x - gray) * sf + gray
+    return jnp.clip(x, 0.0, 1.0)
+
+
+def normalize_images(images: jnp.ndarray,
+                     dtype: jnp.dtype = jnp.float32) -> jnp.ndarray:
+    """[B,H,W,3] in [0,1] (or uint8 0..255) → ImageNet-normalized dtype."""
+    x = images.astype(jnp.float32)
+    if images.dtype == jnp.uint8:
+        x = x / 255.0
+    return _normalize01(x, dtype)
+
+
+def _normalize01(x: jnp.ndarray, dtype) -> jnp.ndarray:
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
+    return ((x - mean) / std).astype(dtype)
+
+
+def random_erasing(images: jnp.ndarray, key: jax.Array, prob: float,
+                   area_frac: Tuple[float, float] = (0.02, 0.2)) -> jnp.ndarray:
+    """Per-image random rectangle erase (torchvision RandomErasing parity,
+    ref `src/enhanced_augmentation.py:60-65`), fixed-shape via masking."""
+    B, H, W, _ = images.shape
+    kp, ka, ky, kx = jax.random.split(key, 4)
+    apply = jax.random.uniform(kp, (B, 1, 1, 1)) < prob
+    frac = jax.random.uniform(ka, (B,), minval=area_frac[0], maxval=area_frac[1])
+    side_h = jnp.sqrt(frac) * H
+    side_w = jnp.sqrt(frac) * W
+    y0 = jax.random.uniform(ky, (B,)) * (H - side_h)
+    x0 = jax.random.uniform(kx, (B,)) * (W - side_w)
+    yy = jnp.arange(H, dtype=jnp.float32)[None, :, None, None]
+    xx = jnp.arange(W, dtype=jnp.float32)[None, None, :, None]
+    inside = ((yy >= y0[:, None, None, None]) & (yy < (y0 + side_h)[:, None, None, None])
+              & (xx >= x0[:, None, None, None]) & (xx < (x0 + side_w)[:, None, None, None]))
+    return jnp.where(apply & inside, 0.0, images)
+
+
+# ---------------------------------------------------------------------------
+# public pipelines
+# ---------------------------------------------------------------------------
+
+def train_preprocess(
+    images_uint8: jnp.ndarray,  # [B, S, S, 3] uint8 staging (S=256)
+    key: jax.Array,
+    cfg: Config,
+    dtype: jnp.dtype = jnp.float32,
+) -> jnp.ndarray:
+    """Full random train augmentation → [B, image_size, image_size, 3]."""
+    d = cfg.data
+    B = images_uint8.shape[0]
+    in_size = images_uint8.shape[1]
+    k_scale, k_angle, k_flip, k_sy, k_sx, k_jit, k_erase = jax.random.split(key, 7)
+
+    crop_scale = jax.random.uniform(k_scale, (B,), minval=d.crop_scale_min,
+                                    maxval=1.0)
+    max_rad = np.deg2rad(d.rotation_degrees)
+    angle = jax.random.uniform(k_angle, (B,), minval=-max_rad, maxval=max_rad)
+    flip = (jax.random.uniform(k_flip, (B,)) < d.horizontal_flip_prob
+            ).astype(jnp.float32)
+    sy = jax.random.uniform(k_sy, (B,), minval=-1.0, maxval=1.0)
+    sx = jax.random.uniform(k_sx, (B,), minval=-1.0, maxval=1.0)
+
+    mats = jax.vmap(partial(_compose_affine, float(in_size),
+                            float(d.image_size)))(crop_scale, angle, flip, sy, sx)
+    x = affine_resample(images_uint8, mats, d.image_size) / 255.0
+    x = color_jitter(x, k_jit, d.brightness_factor, d.contrast_factor,
+                     d.saturation_factor)
+    if d.random_erasing_prob > 0:
+        x = random_erasing(x, k_erase, d.random_erasing_prob)
+    return _normalize01(x, dtype)
+
+
+def eval_preprocess(
+    images_uint8: jnp.ndarray,  # [B, S, S, 3] uint8
+    cfg: Config,
+    dtype: jnp.dtype = jnp.float32,
+    use_pallas: bool = True,
+) -> jnp.ndarray:
+    """Deterministic center crop+resize → normalize (clean val transforms —
+    deliberately NOT reproducing the reference's val-noise quirk,
+    `src/train_small_data.py:93-109`)."""
+    d = cfg.data
+    B = images_uint8.shape[0]
+    in_size = images_uint8.shape[1]
+    if in_size == d.image_size:
+        x01 = images_uint8
+        if use_pallas:
+            from multimodal_rare_disease_tpu.ops.pallas.image_kernels import (
+                fused_normalize_u8,
+            )
+            return fused_normalize_u8(x01, dtype=dtype)
+        return _normalize01(x01.astype(jnp.float32) / 255.0, dtype)
+    zeros = jnp.zeros((B,))
+    # center crop at scale (image_size/ (image_size+32))^2 emulating
+    # Resize(256)->CenterCrop(224)
+    crop_scale = jnp.full((B,), (d.image_size / in_size) ** 2 * (256 / 224) ** 2)
+    crop_scale = jnp.minimum(crop_scale, 1.0)
+    mats = jax.vmap(partial(_compose_affine, float(in_size),
+                            float(d.image_size)))(crop_scale, zeros, zeros,
+                                                  zeros, zeros)
+    x = affine_resample(images_uint8, mats, d.image_size) / 255.0
+    return _normalize01(x, dtype)
+
+
+def augment_batch(images_uint8, key, cfg, train: bool,
+                  dtype=jnp.float32) -> jnp.ndarray:
+    if train:
+        return train_preprocess(images_uint8, key, cfg, dtype)
+    return eval_preprocess(images_uint8, cfg, dtype)

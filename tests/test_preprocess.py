@@ -1,0 +1,101 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_rare_disease_tpu.config import resolve_config
+from multimodal_rare_disease_tpu.ops import (
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+    affine_resample,
+    eval_preprocess,
+    normalize_images,
+    train_preprocess,
+)
+from multimodal_rare_disease_tpu.ops.pallas.image_kernels import fused_normalize_u8
+
+
+def test_normalize_matches_formula():
+    rng = np.random.default_rng(0)
+    u8 = rng.integers(0, 256, size=(2, 8, 8, 3), dtype=np.uint8)
+    out = np.asarray(normalize_images(jnp.asarray(u8)))
+    expect = (u8.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    np.testing.assert_allclose(out, expect, atol=1e-5)
+
+
+def test_pallas_fused_normalize_matches_xla():
+    rng = np.random.default_rng(1)
+    u8 = rng.integers(0, 256, size=(2, 224, 224, 3), dtype=np.uint8)
+    out = np.asarray(fused_normalize_u8(jnp.asarray(u8), dtype=jnp.float32))
+    expect = np.asarray(normalize_images(jnp.asarray(u8)))
+    np.testing.assert_allclose(out, expect, atol=1e-4)
+
+
+def test_pallas_fused_normalize_bf16():
+    rng = np.random.default_rng(2)
+    u8 = rng.integers(0, 256, size=(1, 224, 224, 3), dtype=np.uint8)
+    out = fused_normalize_u8(jnp.asarray(u8), dtype=jnp.bfloat16)
+    assert out.dtype == jnp.bfloat16
+    expect = np.asarray(normalize_images(jnp.asarray(u8)))
+    np.testing.assert_allclose(np.asarray(out, np.float32), expect, atol=2e-2)
+
+
+def test_affine_identity():
+    rng = np.random.default_rng(3)
+    img = rng.uniform(0, 255, size=(1, 32, 32, 3)).astype(np.float32)
+    ident = jnp.asarray(np.stack([np.array([[1, 0, 0], [0, 1, 0]], np.float32)]))
+    out = np.asarray(affine_resample(jnp.asarray(img), ident, 32))
+    np.testing.assert_allclose(out, img, atol=1e-4)
+
+
+def test_eval_preprocess_deterministic_and_shaped():
+    cfg = resolve_config()
+    rng = np.random.default_rng(4)
+    u8 = jnp.asarray(rng.integers(0, 256, (3, 256, 256, 3), dtype=np.uint8))
+    a = np.asarray(eval_preprocess(u8, cfg, use_pallas=False))
+    b = np.asarray(eval_preprocess(u8, cfg, use_pallas=False))
+    assert a.shape == (3, 224, 224, 3)
+    np.testing.assert_array_equal(a, b)
+    # center content preserved: uniform image normalizes exactly
+    flat = jnp.full((1, 256, 256, 3), 128, jnp.uint8)
+    out = np.asarray(eval_preprocess(flat, cfg, use_pallas=False))
+    expect = (128 / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    np.testing.assert_allclose(out[0, 112, 112], expect, atol=1e-3)
+
+
+def test_train_preprocess_shapes_and_randomness():
+    cfg = resolve_config()
+    rng = np.random.default_rng(5)
+    u8 = jnp.asarray(rng.integers(0, 256, (4, 256, 256, 3), dtype=np.uint8))
+    k1, k2 = jax.random.split(jax.random.key(0))
+    a = np.asarray(train_preprocess(u8, k1, cfg))
+    b = np.asarray(train_preprocess(u8, k2, cfg))
+    c = np.asarray(train_preprocess(u8, k1, cfg))
+    assert a.shape == (4, 224, 224, 3)
+    assert np.isfinite(a).all()
+    assert np.abs(a - b).max() > 1e-3  # different keys → different augment
+    np.testing.assert_array_equal(a, c)  # same key → identical
+
+
+def test_train_preprocess_jits_and_runs_sharded(mesh8):
+    from multimodal_rare_disease_tpu.parallel import shard_batch
+
+    cfg = resolve_config()
+    rng = np.random.default_rng(6)
+    u8 = rng.integers(0, 256, (8, 256, 256, 3), dtype=np.uint8)
+    batch = shard_batch(mesh8, {"img": u8})
+    fn = jax.jit(lambda x, k: train_preprocess(x, k, cfg))
+    out = fn(batch["img"], jax.random.key(1))
+    assert out.shape == (8, 224, 224, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_random_erasing_zeroes_region():
+    from multimodal_rare_disease_tpu.ops.preprocess import random_erasing
+
+    x = jnp.ones((4, 32, 32, 3))
+    out = np.asarray(random_erasing(x, jax.random.key(0), prob=1.0))
+    # every image should have a zeroed rectangle
+    for i in range(4):
+        assert (out[i] == 0).any()
+        assert (out[i] == 1).any()
