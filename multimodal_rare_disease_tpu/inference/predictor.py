@@ -1,0 +1,245 @@
+"""Inference pipeline with the reference's JSON contract.
+
+Parity with `src/predict.py` (`MultimodalPredictor`, :26-305) and the
+root image-only `predict.py`:
+
+- checkpoint load (role dir or explicit path; config restored from the
+  checkpoint meta so the model is rebuilt exactly)
+- single predict(image, text, top_k) returning
+  {predictions: [{syndrome, class_id, confidence, probability_percent}],
+   top_prediction, all_probabilities, [embeddings]}
+  (the JSON schema of `src/predict.py:159-188` / README.md:210-228)
+- predict_batch over lists of (image, text)
+- format_report clinical-text rendering (ref :271-305)
+
+TPU-native: one jitted forward (Pallas fused normalize → encoders →
+fusion → head), fixed batch shapes with padding, so single requests and
+batch-256 streaming share the same compiled program per bucket.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_rare_disease_tpu.config import Config, SYNDROME_NAMES
+from multimodal_rare_disease_tpu.data.images import load_image_uint8
+from multimodal_rare_disease_tpu.data.tokenizer import (
+    BertWordPieceTokenizer,
+    get_tokenizer,
+)
+from multimodal_rare_disease_tpu.models import create_model
+from multimodal_rare_disease_tpu.ops.preprocess import eval_preprocess
+from multimodal_rare_disease_tpu.utils.checkpoint import load_checkpoint
+
+ImageLike = Union[str, Path, np.ndarray]
+
+_BATCH_BUCKETS = (1, 8, 32, 256)
+
+
+class MultimodalPredictor:
+    """Loads a trained model and serves the prediction JSON contract."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        params: Any,
+        batch_stats: Any,
+        mode: str = "multimodal",
+        tokenizer: Optional[BertWordPieceTokenizer] = None,
+        class_names: Optional[Sequence[str]] = None,
+    ):
+        self.cfg = cfg
+        self.mode = mode
+        self.params = params
+        self.batch_stats = batch_stats
+        self.class_names = list(class_names or SYNDROME_NAMES)
+        self.model = create_model(cfg, mode=mode)
+        self.tokenizer = tokenizer if mode == "image_only" else (
+            tokenizer or get_tokenizer())
+
+        def forward(params, batch_stats, images, input_ids, attention_mask,
+                    return_embeddings):
+            x = None
+            if mode != "text_only":
+                x = eval_preprocess(images, cfg, use_pallas=True)
+            if mode == "multimodal":
+                args = (x, input_ids, attention_mask)
+            elif mode == "image_only":
+                args = (x,)
+            else:
+                args = (input_ids, attention_mask)
+            return self.model.apply(
+                {"params": params, "batch_stats": batch_stats}, *args,
+                train=False, return_embeddings=return_embeddings)
+
+        self._forward = jax.jit(forward, static_argnums=(5,))
+
+    # -- input preparation -------------------------------------------------
+
+    def _prep_images(self, images: Sequence[ImageLike], n: int) -> np.ndarray:
+        from multimodal_rare_disease_tpu.train.pipeline import STAGING_SIZE
+
+        arrs = []
+        for im in images:
+            if isinstance(im, (str, Path)):
+                arrs.append(load_image_uint8(str(im), STAGING_SIZE))
+            else:
+                a = np.asarray(im)
+                if a.dtype != np.uint8:
+                    a = np.clip(a, 0, 255).astype(np.uint8)
+                if a.shape[:2] != (STAGING_SIZE, STAGING_SIZE):
+                    from PIL import Image
+
+                    a = np.asarray(Image.fromarray(a).resize(
+                        (STAGING_SIZE, STAGING_SIZE), Image.BILINEAR))
+                arrs.append(a)
+        while len(arrs) < n:
+            arrs.append(np.zeros_like(arrs[0]))
+        return np.stack(arrs)
+
+    def _prep_texts(self, texts: Sequence[str], n: int
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+        T = self.cfg.data.max_text_length
+        ids, mask, _ = self.tokenizer.encode_batch(list(texts), T)
+        if len(texts) < n:
+            pad = n - len(texts)
+            ids = np.concatenate([ids, np.tile(ids[-1:], (pad, 1))])
+            mask = np.concatenate([mask, np.tile(mask[-1:], (pad, 1))])
+        return ids, mask
+
+    @staticmethod
+    def _bucket(n: int) -> int:
+        for b in _BATCH_BUCKETS:
+            if n <= b:
+                return b
+        return -(-n // _BATCH_BUCKETS[-1]) * _BATCH_BUCKETS[-1]
+
+    # -- prediction --------------------------------------------------------
+
+    def predict(self, image: Optional[ImageLike] = None,
+                text: Optional[str] = None, top_k: int = 5,
+                return_embeddings: bool = False) -> Dict[str, Any]:
+        """Single-sample prediction returning the JSON contract."""
+        out = self.predict_batch(
+            [image] if image is not None else None,
+            [text] if text is not None else None,
+            top_k=top_k, return_embeddings=return_embeddings)
+        return out[0]
+
+    def predict_batch(self, images: Optional[Sequence[ImageLike]] = None,
+                      texts: Optional[Sequence[str]] = None, top_k: int = 5,
+                      return_embeddings: bool = False) -> List[Dict[str, Any]]:
+        n = len(images) if images is not None else len(texts)
+        B = self._bucket(n)
+        from multimodal_rare_disease_tpu.train.pipeline import STAGING_SIZE
+
+        if self.mode != "text_only":
+            if images is None:
+                raise ValueError(f"mode {self.mode} requires images")
+            imgs = self._prep_images(images, B)
+        else:
+            imgs = np.zeros((B, 1, 1, 3), np.uint8)
+        if self.mode != "image_only":
+            if texts is None:
+                raise ValueError(f"mode {self.mode} requires texts")
+            ids, mask = self._prep_texts(texts, B)
+        else:
+            ids = np.zeros((B, 1), np.int32)
+            mask = np.ones((B, 1), np.int32)
+
+        out = self._forward(self.params, self.batch_stats,
+                            jnp.asarray(imgs), jnp.asarray(ids),
+                            jnp.asarray(mask), return_embeddings)
+        probs = np.asarray(out["probs"], np.float32)[:n]
+        results = []
+        for i in range(n):
+            results.append(self._format_single(probs[i], top_k))
+            if return_embeddings:
+                emb = {}
+                if "image_embedding" in out:
+                    emb["image"] = np.asarray(out["image_embedding"])[i].tolist()
+                if "text_embedding" in out:
+                    emb["text"] = np.asarray(out["text_embedding"])[i].tolist()
+                if "fused_embedding" in out:
+                    emb["fused"] = np.asarray(out["fused_embedding"])[i].tolist()
+                results[-1]["embeddings"] = emb
+        return results
+
+    def _format_single(self, probs: np.ndarray, top_k: int) -> Dict[str, Any]:
+        order = np.argsort(probs)[::-1][:top_k]
+        predictions = [
+            {
+                "syndrome": (self.class_names[i] if i < len(self.class_names)
+                             else f"Class_{i}"),
+                "class_id": int(i),
+                "confidence": float(probs[i]),
+                "probability_percent": float(probs[i] * 100.0),
+            }
+            for i in order
+        ]
+        return {
+            "predictions": predictions,
+            "top_prediction": predictions[0] if predictions else None,
+            "all_probabilities": {
+                (self.class_names[i] if i < len(self.class_names)
+                 else f"Class_{i}"): float(probs[i])
+                for i in range(len(probs))
+            },
+        }
+
+    # -- reporting ---------------------------------------------------------
+
+    def format_report(self, result: Dict[str, Any],
+                      patient_id: str = "N/A") -> str:
+        """Clinical-report text rendering (ref `src/predict.py:271-305`)."""
+        top = result["top_prediction"]
+        lines = [
+            "=" * 64,
+            "RARE DISEASE DIAGNOSIS REPORT",
+            "=" * 64,
+            f"Patient ID: {patient_id}",
+            "",
+            "TOP PREDICTION:",
+            f"  {top['syndrome']}",
+            f"  Confidence: {top['confidence']:.4f} "
+            f"({top['probability_percent']:.1f}%)",
+            "",
+            "DIFFERENTIAL DIAGNOSIS:",
+        ]
+        for i, p in enumerate(result["predictions"], 1):
+            bar = "#" * int(round(p["confidence"] * 40))
+            lines.append(f"  {i}. {p['syndrome']:<36} "
+                         f"{p['probability_percent']:5.1f}% {bar}")
+        lines += ["", "NOTE: Automated screening output; requires "
+                  "confirmation by a clinical geneticist.", "=" * 64]
+        return "\n".join(lines)
+
+
+def load_predictor(checkpoint_path: str | Path,
+                   mode: Optional[str] = None,
+                   cfg: Optional[Config] = None,
+                   tokenizer: Optional[BertWordPieceTokenizer] = None
+                   ) -> MultimodalPredictor:
+    """Build a predictor from a checkpoint dir (config restored from meta)."""
+    params, batch_stats, meta = load_checkpoint(checkpoint_path)
+    if cfg is None:
+        if "config" in meta:
+            cfg = Config.from_dict(meta["config"])
+        else:
+            from multimodal_rare_disease_tpu.config import resolve_config
+
+            cfg = resolve_config()
+    mode = mode or meta.get("mode", "multimodal")
+    if tokenizer is None and meta.get("vocab"):
+        tokenizer = BertWordPieceTokenizer(
+            {t: i for i, t in enumerate(meta["vocab"])})
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    batch_stats = jax.tree_util.tree_map(jnp.asarray, batch_stats)
+    return MultimodalPredictor(cfg, params, batch_stats, mode=mode,
+                               tokenizer=tokenizer)

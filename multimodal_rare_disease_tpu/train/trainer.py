@@ -1,0 +1,386 @@
+"""Unified trainer covering all three modes (multimodal / image_only /
+text_only).
+
+One implementation replaces the reference's three ~70%-duplicated trainers
+(`Trainer` `src/train.py:103-522`, `SmallDataTrainer`
+`src/train_small_data.py:252-528`, `MultimodalTrainer`
+`src/train_multimodal.py:356-676`) with a TPU-native design:
+
+- ONE jitted train step containing device-side augmentation + forward +
+  loss + backward + optimizer update; donated state, runtime-scalar LR
+- bf16 compute via the model dtype; no GradScaler needed (the reference's
+  CUDA AMP machinery, `src/train.py:159-161`, has no bf16 analogue)
+- class-weighted CE + label smoothing (ref `src/train_multimodal.py:389-392`)
+- NaN guard in-graph: non-finite loss/grads suppress the update and bump a
+  counter (ref batch-skip guards `src/train_small_data.py:369-391`)
+- early stopping, best/last orbax checkpoints by val_loss or val_acc,
+  5-series history dict (ref `src/train.py:164-170`)
+- data parallel by construction: batches sharded over the mesh 'data'
+  axis, gradients psum'd by XLA over ICI
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from functools import partial
+from typing import Any, Dict, Iterator, Optional
+
+import jax
+import jax.flatten_util  # noqa: F401  (registers jax.flatten_util)
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_rare_disease_tpu.config import Config, ensure_dirs
+from multimodal_rare_disease_tpu.models import create_model
+from multimodal_rare_disease_tpu.ops.preprocess import (
+    eval_preprocess,
+    train_preprocess,
+)
+from multimodal_rare_disease_tpu.parallel.mesh import (
+    batch_sharding,
+    create_mesh,
+    replicated_sharding,
+)
+from multimodal_rare_disease_tpu.train.freeze import count_params, trainable_mask
+from multimodal_rare_disease_tpu.train.pipeline import DataPipeline
+from multimodal_rare_disease_tpu.train.schedules import EarlyStopping, make_schedule
+from multimodal_rare_disease_tpu.train.state import (
+    TrainState,
+    apply_gradients,
+    create_train_state,
+)
+from multimodal_rare_disease_tpu.utils.checkpoint import role_path, save_checkpoint
+from multimodal_rare_disease_tpu.utils.rng import RngStreams
+
+log = logging.getLogger(__name__)
+
+
+def weighted_ce_loss(logits: jnp.ndarray, labels: jnp.ndarray,
+                     class_w: jnp.ndarray, label_smoothing: float,
+                     valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """torch CrossEntropyLoss(weight, label_smoothing) semantics:
+    per-sample weighted NLL over smoothed targets, normalized by the sum
+    of sample weights."""
+    num_classes = logits.shape[-1]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    onehot = jax.nn.one_hot(labels, num_classes)
+    smooth = (1.0 - label_smoothing) * onehot + label_smoothing / num_classes
+    nll = -jnp.sum(smooth * logp, axis=-1)
+    w = class_w[labels]
+    if valid is not None:
+        w = w * valid
+    return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1e-8)
+
+
+def _model_inputs(mode: str, batch: Dict[str, jnp.ndarray], images):
+    if mode == "multimodal":
+        return (images, batch["input_ids"], batch["attention_mask"])
+    if mode == "image_only":
+        return (images,)
+    return (batch["input_ids"], batch["attention_mask"])
+
+
+class Trainer:
+    """Mode-switched trainer (`train_model` parity, `src/train.py:525-570`)."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        mode: str = "multimodal",
+        pipeline: Optional[DataPipeline] = None,
+        mesh=None,
+        workdir: Optional[str] = None,
+    ):
+        self.cfg = cfg
+        self.mode = mode
+        self.mesh = mesh if mesh is not None else create_mesh(cfg)
+        self.pipeline = pipeline
+        self.rngs = RngStreams(cfg.seed)
+        self.workdir = workdir or cfg.training.checkpoint_dir
+        ensure_dirs(cfg)
+
+        self.model = create_model(cfg, mode=mode)
+        self.state: Optional[TrainState] = None
+        self.history: Dict[str, list] = {
+            "train_loss": [], "train_acc": [], "val_loss": [], "val_acc": [],
+            "lr": [],
+        }
+        self.best_metric_value: Optional[float] = None
+        self._compiled = False
+
+        if pipeline is not None:
+            self.class_weights = np.asarray(pipeline.class_weights, np.float32)
+        else:
+            self.class_weights = np.ones((cfg.classifier.num_classes,),
+                                         np.float32)
+        if not cfg.training.use_class_weights:
+            self.class_weights = np.ones_like(self.class_weights)
+
+    # -- initialization ----------------------------------------------------
+
+    def _dummy_batch(self) -> Dict[str, np.ndarray]:
+        c = self.cfg
+        B = c.training.batch_size
+        batch: Dict[str, np.ndarray] = {
+            "labels": np.zeros(B, np.int32),
+            "valid": np.ones(B, np.float32),
+        }
+        if self.mode != "text_only":
+            from multimodal_rare_disease_tpu.train.pipeline import STAGING_SIZE
+
+            batch["images"] = np.zeros((B, STAGING_SIZE, STAGING_SIZE, 3),
+                                       np.uint8)
+        if self.mode != "image_only":
+            T = c.data.max_text_length
+            batch["input_ids"] = np.ones((B, T), np.int32)
+            batch["attention_mask"] = np.ones((B, T), np.int32)
+        return batch
+
+    def init_state(self) -> TrainState:
+        if self.state is not None:
+            return self.state
+        batch = self._dummy_batch()
+        images = None
+        if self.mode != "text_only":
+            images = jnp.zeros(
+                (1, self.cfg.data.image_size, self.cfg.data.image_size, 3),
+                jnp.float32)
+        args = _model_inputs(self.mode, {k: jnp.asarray(v[:1]) for k, v in
+                                         batch.items()}, images)
+        variables = self.model.init(self.rngs.device("init"), *args, train=False)
+        self.state = create_train_state(self.cfg, variables)
+        # replicate across the mesh
+        rep = replicated_sharding(self.mesh)
+        self.state = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, rep) if isinstance(x, jnp.ndarray) else x,
+            self.state)
+        total, trainable = count_params(
+            self.state.params, trainable_mask(self.cfg, self.state.params))
+        log.info("%s model: %.1fM params (%.1fM trainable)", self.mode,
+                 total / 1e6, trainable / 1e6)
+        return self.state
+
+    # -- compiled steps ----------------------------------------------------
+
+    def _build_steps(self):
+        cfg = self.cfg
+        mode = self.mode
+        model = self.model
+        class_w = jnp.asarray(self.class_weights)
+        ls = cfg.training.label_smoothing
+        dtype = jnp.dtype(cfg.training.compute_dtype)
+
+        def train_step(state: TrainState, batch, lr, key):
+            kaug, kdrop = jax.random.split(key)
+            images = None
+            if mode != "text_only":
+                images = train_preprocess(batch["images"], kaug, cfg, dtype)
+
+            def loss_fn(params):
+                variables = {"params": params,
+                             "batch_stats": state.batch_stats}
+                out, mutated = model.apply(
+                    variables, *_model_inputs(mode, batch, images),
+                    train=True, rngs={"dropout": kdrop},
+                    mutable=["batch_stats"])
+                loss = weighted_ce_loss(out["logits"], batch["labels"],
+                                        class_w, ls)
+                return loss, (out["logits"], mutated["batch_stats"])
+
+            (loss, (logits, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+
+            finite = jnp.isfinite(loss)
+            if cfg.training.nan_guard:
+                gflat, _ = jax.flatten_util.ravel_pytree(grads)
+                finite = finite & jnp.all(jnp.isfinite(gflat))
+            skip = ~finite
+
+            state = apply_gradients(state, grads, lr, new_batch_stats=new_bs,
+                                    skip=skip)
+            preds = jnp.argmax(logits, axis=-1)
+            acc = jnp.mean((preds == batch["labels"]).astype(jnp.float32))
+            metrics = {"loss": loss, "acc": acc,
+                       "skipped": skip.astype(jnp.int32)}
+            return state, metrics
+
+        def eval_step(params, batch_stats, batch):
+            images = None
+            if mode != "text_only":
+                images = eval_preprocess(batch["images"], cfg, dtype,
+                                         use_pallas=False)
+            variables = {"params": params, "batch_stats": batch_stats}
+            out = model.apply(variables, *_model_inputs(mode, batch, images),
+                              train=False)
+            valid = batch["valid"]
+            loss = weighted_ce_loss(out["logits"], batch["labels"], class_w,
+                                    0.0, valid=valid)
+            preds = jnp.argmax(out["logits"], axis=-1)
+            correct = jnp.sum((preds == batch["labels"]).astype(jnp.float32)
+                              * valid)
+            return {"loss_sum": loss * jnp.sum(valid), "correct": correct,
+                    "count": jnp.sum(valid)}
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0,))
+        self._eval_step = jax.jit(eval_step)
+
+    def _place(self, batch: Dict[str, np.ndarray]):
+        sh = batch_sharding(self.mesh)
+        return {k: jax.device_put(v, sh) for k, v in batch.items()}
+
+    # -- epoch loops -------------------------------------------------------
+
+    def _train_epoch(self, epoch: int, schedule) -> Dict[str, float]:
+        assert self.pipeline is not None
+        losses, accs = [], []
+        lr = 0.0
+        for i, batch in enumerate(self.pipeline.train_batches()):
+            step = int(self.state.step)
+            lr = schedule(step)
+            key = self.rngs.device_step("train", step)
+            self.state, metrics = self._train_step(
+                self.state, self._place(batch), jnp.asarray(lr, jnp.float32),
+                key)
+            losses.append(metrics["loss"])
+            accs.append(metrics["acc"])
+        losses = [float(x) for x in jax.device_get(losses)]
+        accs = [float(x) for x in jax.device_get(accs)]
+        return {"loss": float(np.mean(losses)) if losses else float("nan"),
+                "acc": float(np.mean(accs)) if accs else float("nan"),
+                "lr": lr}
+
+    def _validate(self, batches: Optional[Iterator] = None) -> Dict[str, float]:
+        assert self.pipeline is not None or batches is not None
+        it = batches if batches is not None else self.pipeline.val_batches()
+        tot_loss, tot_correct, tot_n = 0.0, 0.0, 0.0
+        for batch in it:
+            m = self._eval_step(self.state.params, self.state.batch_stats,
+                                self._place(batch))
+            m = jax.device_get(m)
+            tot_loss += float(m["loss_sum"])
+            tot_correct += float(m["correct"])
+            tot_n += float(m["count"])
+        if tot_n == 0:
+            return {"loss": float("nan"), "acc": float("nan")}
+        return {"loss": tot_loss / tot_n, "acc": tot_correct / tot_n}
+
+    # -- public API --------------------------------------------------------
+
+    def train(self, num_epochs: Optional[int] = None) -> Dict[str, Any]:
+        cfg = self.cfg
+        num_epochs = num_epochs or cfg.training.num_epochs
+        self.init_state()
+        if not self._compiled:
+            self._build_steps()
+            self._compiled = True
+
+        schedule = make_schedule(cfg.training,
+                                 self.pipeline.steps_per_epoch)
+        best_metric = cfg.training.best_metric
+        stop_mode = "min" if best_metric == "val_loss" else "max"
+        early = EarlyStopping(cfg.training.patience, cfg.training.min_delta,
+                              mode=stop_mode) if cfg.training.early_stopping \
+            else None
+
+        t_start = time.time()
+        for epoch in range(num_epochs):
+            t0 = time.time()
+            train_m = self._train_epoch(epoch, schedule)
+            val_m = self._validate()
+            schedule.on_validation(val_m["loss"])
+
+            self.history["train_loss"].append(train_m["loss"])
+            self.history["train_acc"].append(train_m["acc"])
+            self.history["val_loss"].append(val_m["loss"])
+            self.history["val_acc"].append(val_m["acc"])
+            self.history["lr"].append(train_m["lr"])
+
+            metric_value = (val_m["loss"] if best_metric == "val_loss"
+                            else val_m["acc"])
+            improved = (early.update(metric_value) if early is not None
+                        else self._manual_best(metric_value, stop_mode))
+            if improved:
+                self.best_metric_value = metric_value
+                self.save("best", epoch)
+            if not cfg.training.save_best_only:
+                self.save("last", epoch)
+
+            log.info(
+                "epoch %3d/%d  train loss %.4f acc %.3f | val loss %.4f "
+                "acc %.3f | lr %.2e | %.1fs%s",
+                epoch + 1, num_epochs, train_m["loss"], train_m["acc"],
+                val_m["loss"], val_m["acc"], train_m["lr"],
+                time.time() - t0, "  *BEST*" if improved else "")
+
+            if early is not None and early.should_stop:
+                log.info("early stopping at epoch %d", epoch + 1)
+                break
+
+        skipped = int(jax.device_get(self.state.skipped_steps))
+        if skipped:
+            log.warning("NaN guard suppressed %d updates", skipped)
+        return {
+            "history": self.history,
+            "best_metric": self.best_metric_value,
+            "total_time": time.time() - t_start,
+            "skipped_steps": skipped,
+        }
+
+    def _manual_best(self, value: float, mode: str) -> bool:
+        if self.best_metric_value is None:
+            return True
+        return value < self.best_metric_value if mode == "min" \
+            else value > self.best_metric_value
+
+    def save(self, role: str, epoch: int) -> None:
+        path = role_path(self.workdir, self.mode, role)
+        meta = {
+            "mode": self.mode,
+            "epoch": epoch,
+            "best_metric": self.best_metric_value,
+            "best_metric_name": self.cfg.training.best_metric,
+            "history": self.history,
+            "config": self.cfg.to_dict(),
+        }
+        tok = getattr(self.pipeline, "tokenizer", None) if self.pipeline else None
+        if tok is not None:
+            # persist the vocab so inference reproduces training tokenization
+            meta["vocab"] = [t for t, _ in sorted(tok.vocab.items(),
+                                                  key=lambda kv: kv[1])]
+        save_checkpoint(
+            path,
+            self.state.params,
+            self.state.batch_stats,
+            int(jax.device_get(self.state.step)),
+            meta=meta,
+        )
+
+    def load(self, path) -> None:
+        from multimodal_rare_disease_tpu.utils.checkpoint import load_checkpoint
+
+        params, batch_stats, meta = load_checkpoint(path)
+        self.init_state()
+        self.state = self.state.replace(
+            params=jax.tree_util.tree_map(jnp.asarray, params),
+            batch_stats=jax.tree_util.tree_map(jnp.asarray, batch_stats))
+        if meta.get("history"):
+            self.history = meta["history"]
+
+
+def train_model(
+    cfg: Config,
+    mode: str = "multimodal",
+    image_dir: Optional[str] = None,
+    num_epochs: Optional[int] = None,
+    workdir: Optional[str] = None,
+) -> Trainer:
+    """End-to-end convenience entry (`train_model` parity,
+    `src/train.py:525-570`): build pipeline + trainer, run, reload best."""
+    pipeline = DataPipeline(cfg, mode=mode, image_dir=image_dir)
+    trainer = Trainer(cfg, mode=mode, pipeline=pipeline, workdir=workdir)
+    trainer.train(num_epochs)
+    best = role_path(trainer.workdir, mode, "best")
+    if best.exists():
+        trainer.load(best)  # reload best (ref `src/train_multimodal.py:672-674`)
+    return trainer

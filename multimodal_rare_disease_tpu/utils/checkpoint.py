@@ -1,0 +1,77 @@
+"""Orbax checkpointing with best/last roles.
+
+Replaces the reference's `torch.save` dict checkpoints
+(`src/train.py:394-437`, `src/train_multimodal.py:624-664`): an orbax
+array tree ({params, batch_stats, step}) plus a JSON sidecar carrying
+epoch, best metric, training history, and the resolved config — the same
+information content, restorable without pickle.
+
+Roles: `{mode}_best` / `{mode}_last` (ref files `{mode}_best.pt`,
+`{mode}_last.pt`, `best_model.pt`, `multimodal_best.pt`).
+`load_checkpoint` accepts either role dir or an explicit path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+_ARRAYS_SUBDIR = "arrays"
+_META_FILE = "meta.json"
+
+
+def _checkpointer() -> ocp.StandardCheckpointer:
+    return ocp.StandardCheckpointer()
+
+
+def save_checkpoint(
+    path: str | Path,
+    params: Any,
+    batch_stats: Any,
+    step: int,
+    meta: Optional[Dict[str, Any]] = None,
+) -> None:
+    """Write/overwrite a checkpoint directory."""
+    path = Path(path).absolute()
+    if path.exists():
+        shutil.rmtree(path)
+    path.mkdir(parents=True)
+    tree = {
+        "params": jax.tree_util.tree_map(np.asarray, params),
+        "batch_stats": jax.tree_util.tree_map(np.asarray, batch_stats),
+    }
+    ckptr = _checkpointer()
+    ckptr.save(path / _ARRAYS_SUBDIR, tree)
+    ckptr.wait_until_finished()
+    with open(path / _META_FILE, "w", encoding="utf-8") as f:
+        json.dump({"step": int(step), **(meta or {})}, f, indent=2, default=str)
+
+
+def load_checkpoint(path: str | Path) -> Tuple[Any, Any, Dict[str, Any]]:
+    """→ (params, batch_stats, meta)."""
+    path = Path(path).absolute()
+    if not (path / _ARRAYS_SUBDIR).exists():
+        raise FileNotFoundError(f"no checkpoint at {path}")
+    ckptr = _checkpointer()
+    tree = ckptr.restore(path / _ARRAYS_SUBDIR)
+    meta: Dict[str, Any] = {}
+    if (path / _META_FILE).exists():
+        with open(path / _META_FILE, encoding="utf-8") as f:
+            meta = json.load(f)
+    return tree["params"], tree.get("batch_stats", {}), meta
+
+
+def checkpoint_exists(path: str | Path) -> bool:
+    return (Path(path) / _ARRAYS_SUBDIR).exists()
+
+
+def role_path(checkpoint_dir: str | Path, mode: str, role: str) -> Path:
+    """best/last role path for a training mode."""
+    return Path(checkpoint_dir) / f"{mode}_{role}"

@@ -1,0 +1,167 @@
+"""Trainer tests: smoke-train on the real 50-image reference corpus with a
+reduced model (the reference's --smoke_test analogue uses random data;
+here we have the real corpus available read-only)."""
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_rare_disease_tpu.config import resolve_config
+from multimodal_rare_disease_tpu.train import Trainer
+from multimodal_rare_disease_tpu.train.freeze import count_params, trainable_mask
+from multimodal_rare_disease_tpu.train.pipeline import DataPipeline
+from multimodal_rare_disease_tpu.train.schedules import EarlyStopping, make_schedule
+from multimodal_rare_disease_tpu.train.trainer import weighted_ce_loss
+
+REF_IMAGES = Path("/root/reference/data/images")
+
+
+def small_cfg(**over):
+    base = {
+        "data.image_size": 64,
+        "data.max_text_length": 16,
+        "data.augmentation_factor": 1,
+        "text_encoder.num_layers": 2,
+        "text_encoder.num_heads": 2,
+        "text_encoder.hidden_size": 32,
+        "text_encoder.intermediate_size": 64,
+        "text_encoder.vocab_size": 4096,
+        "text_encoder.max_length": 16,
+        "fusion.text_proj_dim": 32,
+        "fusion.hidden_dim": 32,
+        "fusion.num_attention_heads": 2,
+        "cnn_encoder.embedding_dim": 32,
+        "classifier.hidden_dims": (32,),
+        "training.batch_size": 8,
+        "training.num_epochs": 1,
+        "training.compute_dtype": "float32",
+        "training.warmup_epochs": 0,
+    }
+    base.update(over)
+    return resolve_config("default", base)
+
+
+def test_weighted_ce_matches_uniform_nll():
+    logits = jnp.asarray(np.random.default_rng(0).normal(size=(4, 10)),
+                         jnp.float32)
+    labels = jnp.asarray([0, 3, 5, 9])
+    w = jnp.ones(10)
+    loss = weighted_ce_loss(logits, labels, w, 0.0)
+    logp = jax.nn.log_softmax(logits)
+    expect = -np.mean([logp[i, l] for i, l in enumerate(np.asarray(labels))])
+    np.testing.assert_allclose(float(loss), expect, rtol=1e-5)
+
+
+def test_weighted_ce_class_weights():
+    logits = jnp.zeros((2, 2))
+    labels = jnp.asarray([0, 1])
+    w = jnp.asarray([3.0, 1.0])
+    loss = weighted_ce_loss(logits, labels, w, 0.0)
+    # both samples have identical nll; weighting must not change the value
+    np.testing.assert_allclose(float(loss), float(np.log(2)), rtol=1e-5)
+
+
+def test_schedules():
+    cfg = resolve_config("default", {"training.num_epochs": 10,
+                                     "training.warmup_epochs": 2,
+                                     "training.learning_rate": 1.0})
+    s = make_schedule(cfg.training, steps_per_epoch=10)
+    assert s(0) < s(10)            # warming up
+    assert abs(s(19) - 1.0) < 0.06  # end of warmup
+    assert s(99) < 0.01            # cosine decayed
+
+    cfg2 = resolve_config("default", {"training.scheduler": "warm_restarts",
+                                      "training.restart_period_epochs": 2,
+                                      "training.learning_rate": 1.0})
+    s2 = make_schedule(cfg2.training, steps_per_epoch=5)
+    assert s2(0) == pytest.approx(1.0)
+    assert s2(10) == pytest.approx(1.0)  # restart at T_0
+    assert s2(9) < 0.1
+
+    cfg3 = resolve_config("default", {"training.scheduler": "plateau",
+                                      "training.learning_rate": 1.0,
+                                      "training.plateau_patience": 1})
+    s3 = make_schedule(cfg3.training, steps_per_epoch=5)
+    assert s3(0) == 1.0
+    s3.on_validation(1.0)
+    s3.on_validation(1.0)
+    s3.on_validation(1.0)  # patience exceeded → reduce
+    assert s3(0) == pytest.approx(0.1)
+
+
+def test_early_stopping():
+    es = EarlyStopping(patience=2, min_delta=0.0, mode="min")
+    assert es.update(1.0)
+    assert not es.update(1.5)
+    assert not es.update(1.4)
+    assert es.should_stop
+
+
+def test_freeze_mask_multimodal():
+    cfg = small_cfg(**{"cnn_encoder.freeze_stages": 3,
+                       "text_encoder.freeze_layers": 1,
+                       "text_encoder.freeze_embeddings": True})
+    from multimodal_rare_disease_tpu.models import create_model
+
+    model = create_model(cfg, mode="multimodal", dtype=jnp.float32)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)),
+                           jnp.ones((1, 16), jnp.int32),
+                           jnp.ones((1, 16), jnp.int32))
+    mask = trainable_mask(cfg, variables["params"])
+    total, trainable = count_params(variables["params"], mask)
+    assert trainable < total
+
+    flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+    frozen_paths = ["/".join(str(getattr(p, "key", p)) for p in path)
+                    for path, m in flat if not m]
+    assert any("stage1" in p for p in frozen_paths)
+    assert any("stem_conv" in p for p in frozen_paths)
+    assert not any("stage4" in p for p in frozen_paths)
+    assert any("layer0" in p for p in frozen_paths)
+    assert not any("layer1/" in p for p in frozen_paths)
+    assert any("word_embeddings" in p for p in frozen_paths)
+    assert not any("fusion" in p for p in frozen_paths)
+
+
+@pytest.mark.skipif(not REF_IMAGES.is_dir(), reason="reference corpus absent")
+@pytest.mark.parametrize("mode", ["image_only", "text_only", "multimodal"])
+def test_trainer_one_epoch_real_corpus(mode, tmp_path):
+    cfg = small_cfg()
+    pipeline = DataPipeline(cfg, mode=mode, image_dir=str(REF_IMAGES))
+    trainer = Trainer(cfg, mode=mode, pipeline=pipeline,
+                      workdir=str(tmp_path))
+    result = trainer.train(num_epochs=1)
+    assert len(result["history"]["train_loss"]) == 1
+    assert np.isfinite(result["history"]["train_loss"][0])
+    assert np.isfinite(result["history"]["val_loss"][0])
+    assert result["skipped_steps"] == 0
+    # checkpoints written
+    assert (tmp_path / f"{mode}_best" / "arrays").exists()
+    assert (tmp_path / f"{mode}_last" / "arrays").exists()
+
+
+@pytest.mark.skipif(not REF_IMAGES.is_dir(), reason="reference corpus absent")
+def test_trainer_loss_decreases_and_reload(tmp_path):
+    cfg = small_cfg(**{"data.augmentation_factor": 2,
+                       "training.learning_rate": 3e-3,
+                       "training.scheduler": "constant"})
+    pipeline = DataPipeline(cfg, mode="image_only", image_dir=str(REF_IMAGES))
+    trainer = Trainer(cfg, mode="image_only", pipeline=pipeline,
+                      workdir=str(tmp_path))
+    result = trainer.train(num_epochs=3)
+    losses = result["history"]["train_loss"]
+    assert losses[-1] < losses[0]
+
+    # reload best into a fresh trainer; val metrics reproduce
+    val1 = trainer._validate()
+    t2 = Trainer(cfg, mode="image_only", pipeline=pipeline,
+                 workdir=str(tmp_path))
+    t2.init_state()
+    t2._build_steps()
+    t2.load(tmp_path / "image_only_best")
+    val2 = t2._validate()
+    assert np.isfinite(val2["loss"])
+    assert val2["acc"] >= 0.0
