@@ -226,13 +226,68 @@ class BertWordPieceTokenizer:
         return input_ids, mask, np.zeros((max_length,), np.int32)
 
     def encode_batch(
-        self, texts: Iterable[str], max_length: int = 128
+        self, texts: Iterable[str], max_length: int = 128,
+        use_native: bool = True,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        texts = list(texts)
+        if use_native:
+            out = self._native_encode_batch(texts, max_length)
+            if out is not None:
+                return out
         rows = [self.encode(t, max_length) for t in texts]
         ids = np.stack([r[0] for r in rows])
         mask = np.stack([r[1] for r in rows])
         types = np.stack([r[2] for r in rows])
         return ids, mask, types
+
+    # -- native (C++) fast path -------------------------------------------
+
+    _native_handle = None
+    _native_lib = None
+
+    def _native_ok(self, texts) -> bool:
+        """The C++ core is byte-exact for text without CJK codepoints and,
+        in lowercase mode, without non-ASCII (no accent stripping)."""
+        from multimodal_rare_disease_tpu.data.tokenizer import _is_cjk
+
+        for t in texts:
+            if self.basic.do_lower_case and not t.isascii():
+                return False
+            if not t.isascii() and any(_is_cjk(ord(ch)) for ch in t):
+                return False
+        return True
+
+    def _native_encode_batch(self, texts, max_length: int):
+        try:
+            from multimodal_rare_disease_tpu.native import wordpiece_lib
+        except Exception:  # noqa: BLE001
+            return None
+        lib = wordpiece_lib()
+        if lib is None or not self._native_ok(texts):
+            return None
+        import ctypes
+
+        if self._native_handle is None:
+            blob = "\n".join(
+                t for t, _ in sorted(self.vocab.items(), key=lambda kv: kv[1])
+            ).encode("utf-8")
+            self._native_lib = lib
+            self._native_handle = lib.wp_create(blob, len(blob))
+
+        encoded = [t.encode("utf-8") for t in texts]
+        offsets = np.zeros(len(texts) + 1, np.int64)
+        np.cumsum([len(e) for e in encoded], out=offsets[1:])
+        blob = b"".join(encoded)
+        n = len(texts)
+        ids = np.zeros((n, max_length), np.int32)
+        mask = np.zeros((n, max_length), np.int32)
+        lib.wp_encode_batch(
+            self._native_handle, blob,
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n, max_length, int(self.basic.do_lower_case),
+            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            mask.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return ids, mask, np.zeros((n, max_length), np.int32)
 
     def decode(self, ids: Sequence[int], skip_special_tokens: bool = True) -> str:
         toks = self.convert_ids_to_tokens(ids)

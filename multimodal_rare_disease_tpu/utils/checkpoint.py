@@ -65,7 +65,35 @@ def load_checkpoint(path: str | Path) -> Tuple[Any, Any, Dict[str, Any]]:
     if (path / _META_FILE).exists():
         with open(path / _META_FILE, encoding="utf-8") as f:
             meta = json.load(f)
-    return tree["params"], tree.get("batch_stats", {}), meta
+    return _migrate_params(tree["params"]), tree.get("batch_stats", {}), meta
+
+
+def _migrate_params(params: Any) -> Any:
+    """Forward-migrate older checkpoint layouts.
+
+    v0 → v1: BERT attention used separate query/key/value DenseGenerals;
+    current layout is one fused qkv kernel [H, 3, heads, d]."""
+    if not isinstance(params, dict):
+        return params
+    out = {}
+    for k, v in params.items():
+        if isinstance(v, dict) and {"query", "key", "value"} <= set(v) \
+                and "qkv" not in v and "output" in v:
+            q, kk, vv = v["query"], v["key"], v["value"]
+            out[k] = {
+                "qkv": {
+                    "kernel": np.stack([np.asarray(q["kernel"]),
+                                        np.asarray(kk["kernel"]),
+                                        np.asarray(vv["kernel"])], axis=1),
+                    "bias": np.stack([np.asarray(q["bias"]),
+                                      np.asarray(kk["bias"]),
+                                      np.asarray(vv["bias"])], axis=0),
+                },
+                "output": _migrate_params(v["output"]),
+            }
+        else:
+            out[k] = _migrate_params(v)
+    return out
 
 
 def checkpoint_exists(path: str | Path) -> bool:
