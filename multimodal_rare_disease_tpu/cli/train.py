@@ -36,6 +36,12 @@ def main(argv=None) -> int:
     parser.add_argument("--smoke-test", action="store_true",
                         help="2-epoch run on a synthetic corpus with a "
                              "reduced model (no data required)")
+    parser.add_argument("--data", default="images",
+                        choices=["images", "fgdd"],
+                        help="images: facial-image corpus; fgdd: FGDD "
+                             "patient phenotype texts (text_only mode)")
+    parser.add_argument("--resume", action="store_true",
+                        help="continue from the last checkpoint for this mode")
     add_config_args(parser)
     args = parser.parse_args(argv)
     setup_logging()
@@ -84,9 +90,31 @@ def main(argv=None) -> int:
     from multimodal_rare_disease_tpu.train import Trainer
     from multimodal_rare_disease_tpu.train.pipeline import DataPipeline
 
-    pipeline = DataPipeline(cfg, mode=args.mode, image_dir=image_dir)
+    if args.data == "fgdd":
+        if args.mode != "text_only":
+            parser.error("--data fgdd supports --mode text_only (the FGDD "
+                         "corpus is phenotype text; see PARITY.md on the "
+                         "reference's non-semantic image pairing)")
+        from multimodal_rare_disease_tpu.train.text_pipeline import (
+            fgdd_text_pipeline,
+        )
+
+        pipeline = fgdd_text_pipeline(cfg)
+    else:
+        pipeline = DataPipeline(cfg, mode=args.mode, image_dir=image_dir)
     trainer = Trainer(cfg, mode=args.mode, pipeline=pipeline,
                       workdir=cfg.training.checkpoint_dir)
+    if args.resume:
+        from multimodal_rare_disease_tpu.utils.checkpoint import (
+            checkpoint_exists,
+            role_path,
+        )
+
+        last = role_path(trainer.workdir, args.mode, "last")
+        if checkpoint_exists(last):
+            trainer.load(last)
+            print(f"resuming from {last} "
+                  f"(epoch {len(trainer.history['train_loss'])})")
     result = trainer.train(num_epochs=epochs)
     print(json.dumps({
         "mode": args.mode,

@@ -242,4 +242,5 @@ def load_predictor(checkpoint_path: str | Path,
     params = jax.tree_util.tree_map(jnp.asarray, params)
     batch_stats = jax.tree_util.tree_map(jnp.asarray, batch_stats)
     return MultimodalPredictor(cfg, params, batch_stats, mode=mode,
-                               tokenizer=tokenizer)
+                               tokenizer=tokenizer,
+                               class_names=meta.get("class_names"))

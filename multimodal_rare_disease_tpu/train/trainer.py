@@ -283,8 +283,15 @@ class Trainer:
                               mode=stop_mode) if cfg.training.early_stopping \
             else None
 
+        # resume: continue after the epochs already in history
+        start_epoch = len(self.history["train_loss"])
+        if start_epoch and int(jax.device_get(self.state.step)) == 0:
+            self.state = self.state.replace(
+                step=jnp.asarray(start_epoch * self.pipeline.steps_per_epoch,
+                                 jnp.int32))
+
         t_start = time.time()
-        for epoch in range(num_epochs):
+        for epoch in range(start_epoch, num_epochs):
             t0 = time.time()
             train_m = self._train_epoch(epoch, schedule)
             val_m = self._validate()
@@ -343,6 +350,10 @@ class Trainer:
             "history": self.history,
             "config": self.cfg.to_dict(),
         }
+        class_names = getattr(self.pipeline, "class_names", None) \
+            if self.pipeline else None
+        if class_names:
+            meta["class_names"] = list(class_names)
         tok = getattr(self.pipeline, "tokenizer", None) if self.pipeline else None
         if tok is not None:
             # persist the vocab so inference reproduces training tokenization
