@@ -130,6 +130,10 @@ class DataConfig:
     saturation_factor: float = 0.2
     crop_scale_min: float = 0.8
     random_erasing_prob: float = 0.0
+    # Mixup (ref MixupDataset, src/enhanced_augmentation.py:249-285):
+    # 0 disables; >0 draws lambda ~ Beta(alpha, alpha) per step and mixes
+    # images + targets on device inside the train step
+    mixup_alpha: float = 0.0
 
     use_weighted_sampling: bool = True
 
@@ -172,6 +176,9 @@ class TextEncoderConfig:
     freeze_layers: int = 0
     dropout: float = 0.1
     use_pooler_output: bool = False  # CLS token when False
+    # Pallas fused attention on the inference path (QK^T→softmax→AV in
+    # VMEM, no HBM score tensor); training/attention-viz use the XLA path
+    fused_attention: bool = True
 
 
 @dataclass(frozen=True)

@@ -28,12 +28,13 @@ class BertSelfAttention(nn.Module):
     hidden_size: int
     num_heads: int
     dropout: float
+    fused_attention: bool = True
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden, attention_bias, train: bool = False,
-                 output_attentions: bool = False):
+    def __call__(self, hidden, attention_bias, attention_mask=None,
+                 train: bool = False, output_attentions: bool = False):
         B, T, H = hidden.shape
         d = self.hidden_size // self.num_heads
         # fused QKV: one [H, 3, h, d] matmul instead of three [H, h, d]
@@ -44,11 +45,26 @@ class BertSelfAttention(nn.Module):
                               name="qkv")(hidden)  # [B,T,3,h,d]
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
-        scores = jnp.einsum("bthd,bshd->bhts", q, k) / jnp.sqrt(d).astype(self.dtype)
-        scores = scores + attention_bias  # [B,1,1,T] additive mask
-        probs = nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
-        probs_dropped = nn.Dropout(rate=self.dropout)(probs, deterministic=not train)
-        ctx = jnp.einsum("bhts,bshd->bthd", probs_dropped, v)
+        use_pallas = (self.fused_attention and not train
+                      and not output_attentions and attention_mask is not None)
+        if use_pallas:
+            # Pallas kernel: QK^T→softmax→AV entirely in VMEM, no HBM
+            # score materialization (ops/pallas/attention.py)
+            from multimodal_rare_disease_tpu.ops.pallas.attention import (
+                fused_mha,
+            )
+
+            ctx = fused_mha(q, k, v, attention_mask).astype(self.dtype)
+            probs = None
+        else:
+            scores = jnp.einsum("bthd,bshd->bhts", q, k) \
+                / jnp.sqrt(d).astype(self.dtype)
+            scores = scores + attention_bias  # [B,1,1,T] additive mask
+            probs = nn.softmax(scores.astype(jnp.float32),
+                               axis=-1).astype(self.dtype)
+            probs_dropped = nn.Dropout(rate=self.dropout)(
+                probs, deterministic=not train)
+            ctx = jnp.einsum("bhts,bshd->bthd", probs_dropped, v)
         out = nn.DenseGeneral(
             H, axis=(-2, -1), dtype=self.dtype, param_dtype=self.param_dtype,
             name="output")(ctx)
@@ -62,16 +78,19 @@ class BertLayer(nn.Module):
     num_heads: int
     intermediate_size: int
     dropout: float
+    fused_attention: bool = True
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden, attention_bias, train: bool = False,
-                 output_attentions: bool = False):
+    def __call__(self, hidden, attention_bias, attention_mask=None,
+                 train: bool = False, output_attentions: bool = False):
         attn_out, probs = BertSelfAttention(
             self.hidden_size, self.num_heads, self.dropout,
+            fused_attention=self.fused_attention,
             dtype=self.dtype, param_dtype=self.param_dtype, name="attention",
-        )(hidden, attention_bias, train=train, output_attentions=output_attentions)
+        )(hidden, attention_bias, attention_mask=attention_mask, train=train,
+          output_attentions=output_attentions)
         attn_out = nn.Dropout(rate=self.dropout)(attn_out, deterministic=not train)
         hidden = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype,
                               param_dtype=self.param_dtype,
@@ -100,6 +119,7 @@ class BertEncoder(nn.Module):
     max_position_embeddings: int = 512
     type_vocab_size: int = 2
     dropout: float = 0.1
+    fused_attention: bool = True
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -142,9 +162,11 @@ class BertEncoder(nn.Module):
         for i in range(self.num_layers):
             hidden, probs = BertLayer(
                 self.hidden_size, self.num_heads, self.intermediate_size,
-                self.dropout, dtype=self.dtype, param_dtype=self.param_dtype,
+                self.dropout, fused_attention=self.fused_attention,
+                dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"layer{i}",
-            )(hidden, bias, train=train, output_attentions=output_attentions)
+            )(hidden, bias, attention_mask=attention_mask, train=train,
+              output_attentions=output_attentions)
             if output_hidden_states:
                 all_hidden.append(hidden)
             if output_attentions:
@@ -187,6 +209,7 @@ class TextEncoder(nn.Module):
     dropout: float = 0.1
     use_pooler_output: bool = False
     projection_dim: int = 0  # 0 = no projection (raw 768-d)
+    fused_attention: bool = True
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -200,6 +223,7 @@ class TextEncoder(nn.Module):
             max_position_embeddings=self.max_position_embeddings,
             type_vocab_size=self.type_vocab_size,
             dropout=self.bert_dropout,
+            fused_attention=self.fused_attention,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="bert",
@@ -256,6 +280,7 @@ def create_text_encoder(
         dropout=cfg.dropout,
         use_pooler_output=cfg.use_pooler_output,
         projection_dim=projection_dim,
+        fused_attention=cfg.fused_attention,
         dtype=dtype,
         param_dtype=param_dtype,
         name=name,

@@ -171,11 +171,24 @@ class Trainer:
         ls = cfg.training.label_smoothing
         dtype = jnp.dtype(cfg.training.compute_dtype)
 
+        mixup_alpha = cfg.data.mixup_alpha
+        use_mixup = mixup_alpha > 0 and mode != "text_only"
+
         def train_step(state: TrainState, batch, lr, key):
-            kaug, kdrop = jax.random.split(key)
+            kaug, kdrop, kmix = jax.random.split(key, 3)
             images = None
             if mode != "text_only":
                 images = train_preprocess(batch["images"], kaug, cfg, dtype)
+
+            labels = batch["labels"]
+            if use_mixup:
+                # image mixup (ref MixupDataset semantics): lam ~ Beta(a,a),
+                # pair each sample with a permuted partner, mix pixels and CE
+                kperm, klam = jax.random.split(kmix)
+                perm = jax.random.permutation(kperm, images.shape[0])
+                lam = jax.random.beta(klam, mixup_alpha, mixup_alpha)
+                images = lam * images + (1.0 - lam) * images[perm]
+                labels2 = labels[perm]
 
             def loss_fn(params):
                 variables = {"params": params,
@@ -184,8 +197,10 @@ class Trainer:
                     variables, *_model_inputs(mode, batch, images),
                     train=True, rngs={"dropout": kdrop},
                     mutable=["batch_stats"])
-                loss = weighted_ce_loss(out["logits"], batch["labels"],
-                                        class_w, ls)
+                loss = weighted_ce_loss(out["logits"], labels, class_w, ls)
+                if use_mixup:
+                    loss = lam * loss + (1.0 - lam) * weighted_ce_loss(
+                        out["logits"], labels2, class_w, ls)
                 return loss, (out["logits"], mutated["batch_stats"])
 
             (loss, (logits, new_bs)), grads = jax.value_and_grad(
