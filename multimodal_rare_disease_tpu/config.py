@@ -130,6 +130,8 @@ class DataConfig:
     saturation_factor: float = 0.2
     crop_scale_min: float = 0.8
     random_erasing_prob: float = 0.0
+    gaussian_blur_prob: float = 0.0
+    gaussian_noise_std: float = 0.0
     # Mixup (ref MixupDataset, src/enhanced_augmentation.py:249-285):
     # 0 disables; >0 draws lambda ~ Beta(alpha, alpha) per step and mixes
     # images + targets on device inside the train step
@@ -179,6 +181,9 @@ class TextEncoderConfig:
     # Pallas fused attention on the inference path (QK^T→softmax→AV in
     # VMEM, no HBM score tensor); training/attention-viz use the XLA path
     fused_attention: bool = True
+    # W8A8 dynamic int8 for the transformer's big matmuls at inference
+    # (s8 MXU ≈ 2× bf16 rate on v5e); training always runs bf16/f32
+    quantized_inference: bool = False
 
 
 @dataclass(frozen=True)

@@ -29,20 +29,28 @@ class BertSelfAttention(nn.Module):
     num_heads: int
     dropout: float
     fused_attention: bool = True
+    quantized: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, hidden, attention_bias, attention_mask=None,
                  train: bool = False, output_attentions: bool = False):
+        from multimodal_rare_disease_tpu.models.quant import (
+            MaybeQuantDenseGeneral,
+        )
+
         B, T, H = hidden.shape
         d = self.hidden_size // self.num_heads
+        q8 = self.quantized and not train
         # fused QKV: one [H, 3, h, d] matmul instead of three [H, h, d]
         # (better MXU utilization; HF q/k/v weights concat into this kernel
         # at conversion time, models/convert.py)
-        qkv = nn.DenseGeneral((3, self.num_heads, d), axis=-1,
-                              dtype=self.dtype, param_dtype=self.param_dtype,
-                              name="qkv")(hidden)  # [B,T,3,h,d]
+        qkv = MaybeQuantDenseGeneral((3, self.num_heads, d), axis=-1,
+                                     quantized=q8,
+                                     dtype=self.dtype,
+                                     param_dtype=self.param_dtype,
+                                     name="qkv")(hidden)  # [B,T,3,h,d]
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
         use_pallas = (self.fused_attention and not train
@@ -65,9 +73,9 @@ class BertSelfAttention(nn.Module):
             probs_dropped = nn.Dropout(rate=self.dropout)(
                 probs, deterministic=not train)
             ctx = jnp.einsum("bhts,bshd->bthd", probs_dropped, v)
-        out = nn.DenseGeneral(
-            H, axis=(-2, -1), dtype=self.dtype, param_dtype=self.param_dtype,
-            name="output")(ctx)
+        out = MaybeQuantDenseGeneral(
+            H, axis=(-2, -1), quantized=q8, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="output")(ctx)
         if output_attentions:
             return out, probs
         return out, None
@@ -79,15 +87,21 @@ class BertLayer(nn.Module):
     intermediate_size: int
     dropout: float
     fused_attention: bool = True
+    quantized: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, hidden, attention_bias, attention_mask=None,
                  train: bool = False, output_attentions: bool = False):
+        from multimodal_rare_disease_tpu.models.quant import (
+            MaybeQuantDenseGeneral,
+        )
+
+        q8 = self.quantized and not train
         attn_out, probs = BertSelfAttention(
             self.hidden_size, self.num_heads, self.dropout,
-            fused_attention=self.fused_attention,
+            fused_attention=self.fused_attention, quantized=self.quantized,
             dtype=self.dtype, param_dtype=self.param_dtype, name="attention",
         )(hidden, attention_bias, attention_mask=attention_mask, train=train,
           output_attentions=output_attentions)
@@ -96,11 +110,13 @@ class BertLayer(nn.Module):
                               param_dtype=self.param_dtype,
                               name="attention_ln")(hidden + attn_out)
 
-        inter = nn.Dense(self.intermediate_size, dtype=self.dtype,
-                         param_dtype=self.param_dtype, name="intermediate")(hidden)
+        inter = MaybeQuantDenseGeneral(
+            self.intermediate_size, quantized=q8, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="intermediate")(hidden)
         inter = nn.gelu(inter, approximate=False)
-        out = nn.Dense(self.hidden_size, dtype=self.dtype,
-                       param_dtype=self.param_dtype, name="output")(inter)
+        out = MaybeQuantDenseGeneral(
+            self.hidden_size, quantized=q8, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="output")(inter)
         out = nn.Dropout(rate=self.dropout)(out, deterministic=not train)
         hidden = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype,
                               param_dtype=self.param_dtype,
@@ -120,6 +136,7 @@ class BertEncoder(nn.Module):
     type_vocab_size: int = 2
     dropout: float = 0.1
     fused_attention: bool = True
+    quantized: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -163,6 +180,7 @@ class BertEncoder(nn.Module):
             hidden, probs = BertLayer(
                 self.hidden_size, self.num_heads, self.intermediate_size,
                 self.dropout, fused_attention=self.fused_attention,
+                quantized=self.quantized,
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"layer{i}",
             )(hidden, bias, attention_mask=attention_mask, train=train,
@@ -210,6 +228,7 @@ class TextEncoder(nn.Module):
     use_pooler_output: bool = False
     projection_dim: int = 0  # 0 = no projection (raw 768-d)
     fused_attention: bool = True
+    quantized: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -224,6 +243,7 @@ class TextEncoder(nn.Module):
             type_vocab_size=self.type_vocab_size,
             dropout=self.bert_dropout,
             fused_attention=self.fused_attention,
+            quantized=self.quantized,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="bert",
@@ -281,6 +301,7 @@ def create_text_encoder(
         use_pooler_output=cfg.use_pooler_output,
         projection_dim=projection_dim,
         fused_attention=cfg.fused_attention,
+        quantized=cfg.quantized_inference,
         dtype=dtype,
         param_dtype=param_dtype,
         name=name,

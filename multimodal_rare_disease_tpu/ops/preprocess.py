@@ -203,6 +203,57 @@ def _normalize01(x: jnp.ndarray, dtype) -> jnp.ndarray:
     return ((x - mean) / std).astype(dtype)
 
 
+def gaussian_blur(images: jnp.ndarray, sigma: float = 1.0,
+                  kernel_size: int = 5) -> jnp.ndarray:
+    """Separable depthwise Gaussian blur on [B,H,W,C] (device-side
+    equivalent of the reference's GaussianBlur augment,
+    `src/enhanced_augmentation.py:47-50`)."""
+    half = kernel_size // 2
+    xs = np.arange(-half, half + 1, dtype=np.float32)
+    k = np.exp(-(xs ** 2) / (2 * sigma ** 2))
+    k = jnp.asarray(k / k.sum(), images.dtype)
+    x = images
+    # blur along W then H via 1-D convolutions (depthwise)
+    x = jax.vmap(lambda im: _conv1d(im, k, axis=1))(x)
+    x = jax.vmap(lambda im: _conv1d(im, k, axis=0))(x)
+    return x
+
+
+def _conv1d(img: jnp.ndarray, k: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """1-D same-size convolution of [H,W,C] along H (axis 0) or W (axis 1),
+    edge-padded, expressed as a stack of static shifts (gather-free)."""
+    half = (k.shape[0] - 1) // 2
+    out = jnp.zeros_like(img)
+    for i in range(k.shape[0]):
+        shift = i - half
+        if axis == 0:
+            if shift >= 0:
+                s = jnp.concatenate(
+                    [img[shift:], jnp.repeat(img[-1:], shift, 0)], 0) \
+                    if shift else img
+            else:
+                s = jnp.concatenate(
+                    [jnp.repeat(img[:1], -shift, 0), img[:shift]], 0)
+        else:
+            if shift >= 0:
+                s = jnp.concatenate(
+                    [img[:, shift:], jnp.repeat(img[:, -1:], shift, 1)], 1) \
+                    if shift else img
+            else:
+                s = jnp.concatenate(
+                    [jnp.repeat(img[:, :1], -shift, 1), img[:, :shift]], 1)
+        out = out + k[i] * s
+    return out
+
+
+def gaussian_noise(images: jnp.ndarray, key: jax.Array,
+                   std: float = 0.05) -> jnp.ndarray:
+    """Additive Gaussian noise on [0,1] images (ref albumentations
+    GaussNoise group, `src/enhanced_augmentation.py:78-84`)."""
+    return jnp.clip(images + std * jax.random.normal(key, images.shape,
+                                                     images.dtype), 0.0, 1.0)
+
+
 def random_erasing(images: jnp.ndarray, key: jax.Array, prob: float,
                    area_frac: Tuple[float, float] = (0.02, 0.2)) -> jnp.ndarray:
     """Per-image random rectangle erase (torchvision RandomErasing parity,
@@ -275,6 +326,14 @@ def train_preprocess(
 
     x = color_jitter(x, k_jit, d.brightness_factor, d.contrast_factor,
                      d.saturation_factor)
+    if d.gaussian_blur_prob > 0 or d.gaussian_noise_std > 0:
+        k_blur, k_bsel, k_noise = jax.random.split(k_erase, 3)
+        if d.gaussian_blur_prob > 0:
+            blurred = gaussian_blur(x)
+            sel = (jax.random.uniform(k_bsel, (B,)) < d.gaussian_blur_prob)
+            x = jnp.where(sel[:, None, None, None], blurred, x)
+        if d.gaussian_noise_std > 0:
+            x = gaussian_noise(x, k_noise, d.gaussian_noise_std)
     if d.random_erasing_prob > 0:
         x = random_erasing(x, k_erase, d.random_erasing_prob)
     return _normalize01(x, dtype)

@@ -99,3 +99,39 @@ def test_random_erasing_zeroes_region():
     for i in range(4):
         assert (out[i] == 0).any()
         assert (out[i] == 1).any()
+
+
+def test_gaussian_blur_and_noise():
+    from multimodal_rare_disease_tpu.ops.preprocess import (
+        gaussian_blur,
+        gaussian_noise,
+    )
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 16, 16, 3)).astype(np.float32))
+    b = np.asarray(gaussian_blur(x, sigma=1.0))
+    assert b.shape == x.shape
+    # blur reduces variance, preserves mean
+    assert b.std() < np.asarray(x).std()
+    np.testing.assert_allclose(b.mean(), np.asarray(x).mean(), atol=0.02)
+    # uniform image unchanged (edge handling correct)
+    flat = jnp.full((1, 16, 16, 3), 0.5)
+    np.testing.assert_allclose(np.asarray(gaussian_blur(flat)), 0.5, atol=1e-5)
+
+    n = np.asarray(gaussian_noise(x, jax.random.key(0), std=0.1))
+    assert 0.05 < np.abs(n - np.asarray(x)).mean() < 0.15
+    assert n.min() >= 0 and n.max() <= 1
+
+
+def test_train_preprocess_with_blur_noise_flags():
+    cfg2 = resolve_config("default", {"data.gaussian_blur_prob": 0.5,
+                                      "data.gaussian_noise_std": 0.05})
+    rng = np.random.default_rng(8)
+    u8 = jnp.asarray(rng.integers(0, 256, (4, 64, 64, 3), dtype=np.uint8))
+    cfg3 = resolve_config("default", {"data.gaussian_blur_prob": 0.5,
+                                      "data.gaussian_noise_std": 0.05,
+                                      "data.image_size": 32})
+    out = train_preprocess(u8, jax.random.key(0), cfg3)
+    assert out.shape == (4, 32, 32, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    del cfg2
