@@ -20,7 +20,8 @@ def setup_logging(verbose: bool = True) -> None:
 
 def add_config_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--preset", default=None,
-                        choices=["default", "multimodal", "small_data"],
+                        choices=["default", "multimodal", "small_data",
+                                 "efficientnet_clinicalbert"],
                         help="config preset (default: inferred from mode)")
     parser.add_argument("--set", dest="overrides", action="append", default=[],
                         metavar="KEY=VALUE",

@@ -256,6 +256,12 @@ class TrainingConfig:
     gradient_clip_val: float = 1.0
     use_class_weights: bool = True
     nan_guard: bool = True  # skip non-finite update steps, count them
+    # debug mode: jax_debug_nans — error at the op producing the first NaN
+    # (TPU analogue of the reference's NaN print-and-skip diagnostics)
+    debug_nans: bool = False
+    # capture a jax.profiler trace of this epoch into profile_dir ("" = off)
+    profile_dir: str = ""
+    profile_epoch: int = 1
 
     seed: int = 42
     log_every_steps: int = 10
@@ -440,10 +446,23 @@ SMALL_DATA_PRESET: Dict[str, Any] = {
     "training.best_metric": "val_acc",
 }
 
+# EfficientNet-B0 + ClinicalBERT variant (BASELINE config 4: the
+# reference's alternative backbone/text-model pairing with the enhanced
+# augmentation pipeline).
+EFFICIENTNET_CLINICALBERT_PRESET: Dict[str, Any] = {
+    **MULTIMODAL_PRESET,
+    "cnn_encoder.backbone": "efficientnet_b0",
+    "text_encoder.model_name": "emilyalsentzer/Bio_ClinicalBERT",
+    "data.text_model_name": "emilyalsentzer/Bio_ClinicalBERT",
+    "data.random_erasing_prob": 0.25,
+    "data.gaussian_blur_prob": 0.2,
+}
+
 PRESETS: Dict[str, Dict[str, Any]] = {
     "default": {},
     "multimodal": MULTIMODAL_PRESET,
     "small_data": SMALL_DATA_PRESET,
+    "efficientnet_clinicalbert": EFFICIENTNET_CLINICALBERT_PRESET,
 }
 
 

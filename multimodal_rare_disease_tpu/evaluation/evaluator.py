@@ -263,6 +263,20 @@ class Evaluator:
                              results_dir / f"{self.mode}_roc_curves.png")
         self.plot_per_class_metrics(
             metrics, results_dir / f"{self.mode}_per_class_metrics.png")
+
+        # legacy-schema artifact (exact format of the reference's
+        # results/evaluation_results.json, written by evaluate_multimodal.py)
+        legacy = {
+            "accuracy": metrics["accuracy"],
+            "macro_precision": metrics["precision_macro"],
+            "macro_recall": metrics["recall_macro"],
+            "macro_f1": metrics["f1_macro"],
+            "total_samples": metrics["num_samples"],
+            "per_class": metrics["per_class"],
+        }
+        with open(results_dir / "evaluation_results.json", "w",
+                  encoding="utf-8") as f:
+            json.dump(legacy, f, indent=2)
         return metrics
 
 

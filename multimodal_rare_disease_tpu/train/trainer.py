@@ -100,6 +100,8 @@ class Trainer:
         self.workdir = workdir or cfg.training.checkpoint_dir
         ensure_dirs(cfg)
 
+        if cfg.training.debug_nans:
+            jax.config.update("jax_debug_nans", True)
         self.model = create_model(cfg, mode=mode)
         self.state: Optional[TrainState] = None
         self.history: Dict[str, list] = {
@@ -308,7 +310,13 @@ class Trainer:
         t_start = time.time()
         for epoch in range(start_epoch, num_epochs):
             t0 = time.time()
-            train_m = self._train_epoch(epoch, schedule)
+            if cfg.training.profile_dir and epoch == cfg.training.profile_epoch:
+                from multimodal_rare_disease_tpu.utils.profiling import trace
+
+                with trace(cfg.training.profile_dir):
+                    train_m = self._train_epoch(epoch, schedule)
+            else:
+                train_m = self._train_epoch(epoch, schedule)
             val_m = self._validate()
             schedule.on_validation(val_m["loss"])
 
