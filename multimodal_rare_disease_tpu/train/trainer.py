@@ -102,6 +102,14 @@ class Trainer:
 
         if cfg.training.debug_nans:
             jax.config.update("jax_debug_nans", True)
+        n_data = self.mesh.shape["data"]
+        for name, b in (("training.batch_size", cfg.training.batch_size),
+                        ("evaluation.eval_batch_size",
+                         cfg.evaluation.eval_batch_size)):
+            if b % n_data != 0:
+                raise ValueError(
+                    f"{name}={b} must be divisible by the mesh data axis "
+                    f"({n_data} devices) so batches shard evenly")
         self.model = create_model(cfg, mode=mode)
         self.state: Optional[TrainState] = None
         self.history: Dict[str, list] = {
@@ -388,6 +396,8 @@ class Trainer:
             self.state.batch_stats,
             int(jax.device_get(self.state.step)),
             meta=meta,
+            # optimizer moments only on resumable "last" checkpoints
+            opt_state=self.state.opt_state if role == "last" else None,
         )
 
     def load(self, path) -> None:
@@ -398,6 +408,18 @@ class Trainer:
         self.state = self.state.replace(
             params=jax.tree_util.tree_map(jnp.asarray, params),
             batch_stats=jax.tree_util.tree_map(jnp.asarray, batch_stats))
+        opt_state = meta.pop("_opt_state", None)
+        if opt_state is not None:
+            # restore optimizer moments with the original pytree structure
+            flat_new = jax.tree_util.tree_leaves(opt_state)
+            treedef = jax.tree_util.tree_structure(self.state.opt_state)
+            if treedef.num_leaves == len(flat_new):
+                self.state = self.state.replace(
+                    opt_state=jax.tree_util.tree_unflatten(
+                        treedef, [jnp.asarray(x) for x in flat_new]))
+            else:
+                log.warning("opt_state in checkpoint does not match the "
+                            "current optimizer; starting moments fresh")
         if meta.get("history"):
             self.history = meta["history"]
 

@@ -37,8 +37,11 @@ def save_checkpoint(
     batch_stats: Any,
     step: int,
     meta: Optional[Dict[str, Any]] = None,
+    opt_state: Any = None,
 ) -> None:
-    """Write/overwrite a checkpoint directory."""
+    """Write/overwrite a checkpoint directory. `opt_state` (optimizer
+    moments) is included for resumable "last" checkpoints — parity with
+    the reference's optimizer_state_dict (`src/train.py:394-422`)."""
     path = Path(path).absolute()
     if path.exists():
         shutil.rmtree(path)
@@ -47,6 +50,8 @@ def save_checkpoint(
         "params": jax.tree_util.tree_map(np.asarray, params),
         "batch_stats": jax.tree_util.tree_map(np.asarray, batch_stats),
     }
+    if opt_state is not None:
+        tree["opt_state"] = jax.tree_util.tree_map(np.asarray, opt_state)
     ckptr = _checkpointer()
     ckptr.save(path / _ARRAYS_SUBDIR, tree)
     ckptr.wait_until_finished()
@@ -65,6 +70,8 @@ def load_checkpoint(path: str | Path) -> Tuple[Any, Any, Dict[str, Any]]:
     if (path / _META_FILE).exists():
         with open(path / _META_FILE, encoding="utf-8") as f:
             meta = json.load(f)
+    if "opt_state" in tree:
+        meta["_opt_state"] = tree["opt_state"]
     return _migrate_params(tree["params"]), tree.get("batch_stats", {}), meta
 
 

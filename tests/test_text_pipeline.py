@@ -94,5 +94,9 @@ def test_trainer_resume(tmp_path):
     t2._compiled = True
     t2.load(tmp_path / "text_only_last")
     assert len(t2.history["train_loss"]) == 2
+    # optimizer moments restored (adam mu must be non-zero after training)
+    flat = jax.tree_util.tree_leaves(t2.state.opt_state)
+    assert any(np.abs(np.asarray(x)).max() > 0 for x in flat
+               if hasattr(x, "shape") and np.asarray(x).size > 1)
     result = t2.train(num_epochs=4)  # continues epochs 3..4
     assert len(result["history"]["train_loss"]) == 4
