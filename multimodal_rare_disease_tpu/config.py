@@ -179,10 +179,17 @@ class TextEncoderConfig:
     dropout: float = 0.1
     use_pooler_output: bool = False  # CLS token when False
     # Pallas fused attention on the inference path (QK^T→softmax→AV in
-    # VMEM, no HBM score tensor); training/attention-viz use the XLA path
-    fused_attention: bool = True
-    # W8A8 dynamic int8 for the transformer's big matmuls at inference
-    # (s8 MXU ≈ 2× bf16 rate on v5e); training always runs bf16/f32
+    # VMEM, no HBM score tensor). Off by default: at T=128/B=256 on v5e
+    # the per-(batch,head) grid overhead outweighs the saved score
+    # traffic (measured 2.46k vs 3.48k pairs/s) — XLA's batched einsum
+    # wins at these shapes. Kept as a tested capability for longer
+    # sequences.
+    fused_attention: bool = False
+    # W8A8 dynamic int8 for the transformer's big matmuls at inference.
+    # Off by default: measured SLOWER than bf16 on this stack (110.8 vs
+    # 73.5 ms/256-batch on v5e — XLA does not map dynamic s8xs8 dots to
+    # the int8 MXU path efficiently here); numerics verified, kept as an
+    # option for stacks where it wins. Training always runs bf16/f32.
     quantized_inference: bool = False
 
 

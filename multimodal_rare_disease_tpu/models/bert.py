@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Any, Dict, Optional
 
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from multimodal_rare_disease_tpu.config import TextEncoderConfig

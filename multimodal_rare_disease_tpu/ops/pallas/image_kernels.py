@@ -60,7 +60,16 @@ def _fused_normalize_impl(x_flat, scale_row, bias_row, *, dtype, interpret):
 
 def fused_normalize_u8(images_uint8: jnp.ndarray,
                        dtype: jnp.dtype = jnp.float32) -> jnp.ndarray:
-    """uint8 [B,H,W,3] → normalized dtype [B,H,W,3] in one fused kernel."""
+    """uint8 [B,H,W,3] → normalized dtype [B,H,W,3] in one fused kernel.
+    Falls back to the XLA chain when Pallas can't compile here."""
+    from multimodal_rare_disease_tpu.ops.pallas.capability import (
+        pallas_available,
+    )
+
+    if not pallas_available():
+        from multimodal_rare_disease_tpu.ops.preprocess import normalize_images
+
+        return normalize_images(images_uint8, dtype)
     B, H, W, C = images_uint8.shape
     assert C == 3
     scale = (1.0 / (255.0 * IMAGENET_STD)).astype(np.float32)
