@@ -21,7 +21,7 @@ def setup_logging(verbose: bool = True) -> None:
 def add_config_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--preset", default=None,
                         choices=["default", "multimodal", "small_data",
-                                 "efficientnet_clinicalbert"],
+                                 "efficientnet_clinicalbert", "from_scratch"],
                         help="config preset (default: inferred from mode)")
     parser.add_argument("--set", dest="overrides", action="append", default=[],
                         metavar="KEY=VALUE",

@@ -47,6 +47,9 @@ def main(argv=None) -> int:
     setup_logging()
 
     extra = {}
+    if args.epochs is not None:
+        # keep the LR schedule horizon in sync with the actual run length
+        extra["training.num_epochs"] = args.epochs
     if args.batch_size is not None:
         extra["training.batch_size"] = args.batch_size
     if args.lr is not None:

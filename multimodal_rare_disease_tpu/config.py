@@ -125,6 +125,13 @@ class DataConfig:
     geometry_mode: str = "separable"
     horizontal_flip_prob: float = 0.5
     rotation_degrees: float = 15.0
+    # Online (per-step, on-device) rotation. Off by default: the 3-shear
+    # static-shift formulation costs ~2 s/step at batch 16 on v5e
+    # (memory-bound accumulation), while the reference's deployed corpus
+    # bakes rotations in offline (scripts/generate_augmented_data.py →
+    # our cli.augment_data). Enable for online-rotation parity
+    # experiments; 'gather' geometry_mode also rotates (exactly, slowly).
+    online_rotation: bool = False
     brightness_factor: float = 0.2
     contrast_factor: float = 0.2
     saturation_factor: float = 0.2
@@ -252,6 +259,11 @@ class TrainingConfig:
     best_metric: str = "val_loss"
 
     save_best_only: bool = False
+    # cadence for the resumable "last" checkpoint. Checkpointing reads the
+    # full model+optimizer state back from device (~1.6 GB for the
+    # flagship) — every-epoch saves dominated wall-clock over this
+    # environment's ~20 MB/s device tunnel (85 s/epoch vs 0.4 s compute).
+    checkpoint_every_epochs: int = 1
     checkpoint_dir: str = str(CHECKPOINTS_DIR)
 
     # TPU-native mixed precision: bf16 activations/compute, f32 params &
@@ -465,11 +477,32 @@ EFFICIENTNET_CLINICALBERT_PRESET: Dict[str, Any] = {
     "data.gaussian_blur_prob": 0.2,
 }
 
+# From-scratch multimodal training (no pretrained weights available —
+# zero-egress environments): nothing frozen, uniform LR high enough for
+# random init, shorter text. The reference's presets assume ImageNet/
+# BioBERT initialization (`src/cnn_encoder.py:73-86`); freezing random
+# features with a fine-tuning LR simply doesn't train.
+FROM_SCRATCH_PRESET: Dict[str, Any] = {
+    "data.max_text_length": 128,
+    "data.augmentation_factor": 10,
+    "text_encoder.max_length": 128,
+    "text_encoder.num_layers": 6,  # BERT-base depth is wasted on random init
+    "training.batch_size": 16,
+    "training.num_epochs": 60,
+    "training.learning_rate": 3e-4,
+    "training.warmup_epochs": 3,
+    "training.scheduler": "cosine",
+    "training.best_metric": "val_acc",
+    "training.weight_decay": 0.01,
+    "training.checkpoint_every_epochs": 20,
+}
+
 PRESETS: Dict[str, Dict[str, Any]] = {
     "default": {},
     "multimodal": MULTIMODAL_PRESET,
     "small_data": SMALL_DATA_PRESET,
     "efficientnet_clinicalbert": EFFICIENTNET_CLINICALBERT_PRESET,
+    "from_scratch": FROM_SCRATCH_PRESET,
 }
 
 

@@ -313,7 +313,7 @@ def train_preprocess(
         x = images_uint8.astype(jnp.float32)
         # horizontal flip: lane reverse selected per image
         x = jnp.where(flip[:, None, None, None] > 0, x[:, :, ::-1, :], x)
-        if d.rotation_degrees > 0:
+        if d.rotation_degrees > 0 and d.online_rotation:
             from multimodal_rare_disease_tpu.ops.rotate import rotate_batch
 
             x = rotate_batch(x, angle, max_degrees=d.rotation_degrees)

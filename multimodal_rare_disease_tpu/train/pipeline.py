@@ -179,6 +179,53 @@ class DataPipeline:
         batch["input_ids"] = ids
         batch["attention_mask"] = mask
 
+    # -- device-resident corpus (index-batch) mode ---------------------------
+    #
+    # The whole decoded corpus + tokenized text pools live in HBM once;
+    # per step only tiny int32 index arrays cross the host↔device boundary
+    # and the batch is gathered on device. Over this environment's TPU
+    # tunnel this took epochs from ~107 s (per-batch image transfer) to
+    # seconds (BASELINE.json's "HBM-resident batches" north star).
+
+    def device_corpus(self) -> Dict[str, np.ndarray]:
+        corpus: Dict[str, np.ndarray] = {
+            "train_labels": self.train_labels.astype(np.int32),
+            "val_labels": self.val_labels.astype(np.int32),
+        }
+        if self.mode != "text_only":
+            corpus["train_images"] = self.train_images
+            corpus["val_images"] = self.val_images
+        if self.text_pool is not None:
+            corpus["pool_ids"] = self.text_pool.ids
+            corpus["pool_mask"] = self.text_pool.mask
+        return corpus
+
+    def train_index_batches(self) -> Iterator[Dict[str, np.ndarray]]:
+        B = self.cfg.training.batch_size
+        idx = self._indices_for_epoch()
+        for s in range(len(idx) // B):
+            rows = idx[s * B:(s + 1) * B].astype(np.int32)
+            out = {"rows": rows}
+            if self.text_pool is not None:
+                out["levels"] = self._text_rng.integers(
+                    0, NUM_TEXT_LEVELS, B).astype(np.int32)
+                out["variants"] = self._text_rng.integers(
+                    0, TEXT_POOL_VARIANTS, B).astype(np.int32)
+            yield out
+
+    def val_index_batches(self, batch_size: Optional[int] = None
+                          ) -> Iterator[Dict[str, np.ndarray]]:
+        B = batch_size or self.cfg.evaluation.eval_batch_size
+        n = len(self.val_samples)
+        for s in range(0, n, B):
+            rows = np.arange(s, min(s + B, n), dtype=np.int32)
+            pad = B - len(rows)
+            valid = np.ones(len(rows), np.float32)
+            if pad:
+                rows = np.concatenate([rows, np.zeros(pad, np.int32)])
+                valid = np.concatenate([valid, np.zeros(pad, np.float32)])
+            yield {"rows": rows, "valid": valid}
+
     # -- batch iterators ---------------------------------------------------
 
     def train_batches(self) -> Iterator[Dict[str, np.ndarray]]:

@@ -118,6 +118,9 @@ class Trainer:
         }
         self.best_metric_value: Optional[float] = None
         self._compiled = False
+        self._host_step = 0
+        self._use_index_mode = False
+        self._corpus = None
 
         if pipeline is not None:
             self.class_weights = np.asarray(pipeline.class_weights, np.float32)
@@ -169,6 +172,18 @@ class Trainer:
             self.state.params, trainable_mask(self.cfg, self.state.params))
         log.info("%s model: %.1fM params (%.1fM trainable)", self.mode,
                  total / 1e6, trainable / 1e6)
+
+        # HBM-resident corpus for index-batch mode
+        self._use_index_mode = (self.pipeline is not None
+                                and hasattr(self.pipeline, "device_corpus"))
+        if self._use_index_mode:
+            rep = replicated_sharding(self.mesh)
+            self._corpus = {
+                k: jax.device_put(jnp.asarray(v), rep)
+                for k, v in self.pipeline.device_corpus().items()
+            }
+            nbytes = sum(v.nbytes for v in self._corpus.values())
+            log.info("device-resident corpus: %.1f MB in HBM", nbytes / 1e6)
         return self.state
 
     # -- compiled steps ----------------------------------------------------
@@ -184,11 +199,11 @@ class Trainer:
         mixup_alpha = cfg.data.mixup_alpha
         use_mixup = mixup_alpha > 0 and mode != "text_only"
 
-        def train_step(state: TrainState, batch, lr, key):
+        def _train_body(state: TrainState, batch, raw_images, lr, key):
             kaug, kdrop, kmix = jax.random.split(key, 3)
             images = None
             if mode != "text_only":
-                images = train_preprocess(batch["images"], kaug, cfg, dtype)
+                images = train_preprocess(raw_images, kaug, cfg, dtype)
 
             labels = batch["labels"]
             if use_mixup:
@@ -218,8 +233,11 @@ class Trainer:
 
             finite = jnp.isfinite(loss)
             if cfg.training.nan_guard:
-                gflat, _ = jax.flatten_util.ravel_pytree(grads)
-                finite = finite & jnp.all(jnp.isfinite(gflat))
+                # per-leaf fused reductions (sum of non-finite is non-finite)
+                # — NOT ravel_pytree, which concatenates a 550 MB vector
+                leaf_ok = [jnp.isfinite(jnp.sum(g))
+                           for g in jax.tree_util.tree_leaves(grads)]
+                finite = finite & jnp.stack(leaf_ok).all()
             skip = ~finite
 
             state = apply_gradients(state, grads, lr, new_batch_stats=new_bs,
@@ -230,10 +248,13 @@ class Trainer:
                        "skipped": skip.astype(jnp.int32)}
             return state, metrics
 
-        def eval_step(params, batch_stats, batch):
+        def train_step(state: TrainState, batch, lr, key):
+            return _train_body(state, batch, batch.get("images"), lr, key)
+
+        def _eval_body(params, batch_stats, batch, raw_images):
             images = None
             if mode != "text_only":
-                images = eval_preprocess(batch["images"], cfg, dtype,
+                images = eval_preprocess(raw_images, cfg, dtype,
                                          use_pallas=False)
             variables = {"params": params, "batch_stats": batch_stats}
             out = model.apply(variables, *_model_inputs(mode, batch, images),
@@ -247,8 +268,71 @@ class Trainer:
             return {"loss_sum": loss * jnp.sum(valid), "correct": correct,
                     "count": jnp.sum(valid)}
 
+        def eval_step(params, batch_stats, batch):
+            return _eval_body(params, batch_stats, batch, batch.get("images"))
+
+        # index-batch mode: the corpus stays HBM-resident; steps receive
+        # tiny index arrays and gather the batch on device
+        def _gather_text(corpus, labels, levels, variants, batch):
+            if mode != "image_only" and "pool_ids" in corpus:
+                batch["input_ids"] = corpus["pool_ids"][labels, levels,
+                                                        variants]
+                batch["attention_mask"] = corpus["pool_mask"][labels, levels,
+                                                              variants]
+
+        def train_step_idx(state: TrainState, corpus, idx, lr, key):
+            rows = idx["rows"]
+            labels = corpus["train_labels"][rows]
+            batch = {"labels": labels}
+            raw = corpus["train_images"][rows] if mode != "text_only" else None
+            _gather_text(corpus, labels,
+                         idx.get("levels"), idx.get("variants"), batch)
+            return _train_body(state, batch, raw, lr, key)
+
+        def eval_step_idx(params, batch_stats, corpus, idx):
+            rows = idx["rows"]
+            labels = corpus["val_labels"][rows]
+            batch = {"labels": labels, "valid": idx["valid"]}
+            raw = corpus["val_images"][rows] if mode != "text_only" else None
+            if mode != "image_only" and "pool_ids" in corpus:
+                # validation text: level 0 = full clinical description
+                zeros = jnp.zeros_like(labels)
+                batch["input_ids"] = corpus["pool_ids"][labels, zeros, zeros]
+                batch["attention_mask"] = corpus["pool_mask"][labels, zeros,
+                                                              zeros]
+            return _eval_body(params, batch_stats, batch, raw)
+
+        # whole-epoch scan: ONE dispatch per epoch. Over this TPU tunnel a
+        # per-step dispatch costs seconds (argument-handle marshalling for
+        # ~600 state arrays), so scanning steps device-side took epochs
+        # from ~84 s to device-compute time.
+        def train_epoch_scan(state: TrainState, corpus, idx_all, lrs,
+                             base_key):
+            def body(st, xs):
+                idx, lr, i = xs
+                key = jax.random.fold_in(base_key, i)
+                st, metrics = train_step_idx(st, corpus, idx, lr, key)
+                return st, metrics
+
+            n = lrs.shape[0]
+            state, metrics = jax.lax.scan(
+                body, state, (idx_all, lrs, jnp.arange(n)))
+            return state, metrics
+
+        def eval_scan(params, batch_stats, corpus, idx_all):
+            def body(_, idx):
+                return (), eval_step_idx(params, batch_stats, corpus, idx)
+
+            _, metrics = jax.lax.scan(body, (), idx_all)
+            return {k: jnp.sum(v) for k, v in metrics.items()}
+
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
         self._eval_step = jax.jit(eval_step)
+        self._train_step_idx = jax.jit(train_step_idx, donate_argnums=(0,))
+        self._eval_step_idx = jax.jit(eval_step_idx)
+        self._train_epoch_scan = jax.jit(train_epoch_scan,
+                                         donate_argnums=(0,))
+        self._eval_scan = jax.jit(eval_scan)
 
     def _place(self, batch: Dict[str, np.ndarray]):
         sh = batch_sharding(self.mesh)
@@ -260,15 +344,36 @@ class Trainer:
         assert self.pipeline is not None
         losses, accs = [], []
         lr = 0.0
-        for i, batch in enumerate(self.pipeline.train_batches()):
-            step = int(self.state.step)
-            lr = schedule(step)
-            key = self.rngs.device_step("train", step)
-            self.state, metrics = self._train_step(
-                self.state, self._place(batch), jnp.asarray(lr, jnp.float32),
-                key)
-            losses.append(metrics["loss"])
-            accs.append(metrics["acc"])
+        # host-side step counter: reading state.step would force a device
+        # sync every step (36 ms RTT over the tunnel)
+        step = self._host_step
+        if self._use_index_mode:
+            idx_list = list(self.pipeline.train_index_batches())
+            idx_all = {k: jnp.asarray(np.stack([d[k] for d in idx_list]))
+                       for k in idx_list[0]}
+            lrs = jnp.asarray([schedule(step + i)
+                               for i in range(len(idx_list))], jnp.float32)
+            base_key = self.rngs.device_step("train", step)
+            self.state, metrics = self._train_epoch_scan(
+                self.state, self._corpus, idx_all, lrs, base_key)
+            losses = [float(x) for x in np.asarray(metrics["loss"])]
+            accs = [float(x) for x in np.asarray(metrics["acc"])]
+            step += len(idx_list)
+            lr = float(lrs[-1])
+            self._host_step = step
+            return {"loss": float(np.mean(losses)),
+                    "acc": float(np.mean(accs)), "lr": lr}
+        else:
+            for batch in self.pipeline.train_batches():
+                lr = schedule(step)
+                key = self.rngs.device_step("train", step)
+                self.state, metrics = self._train_step(
+                    self.state, self._place(batch),
+                    jnp.asarray(lr, jnp.float32), key)
+                losses.append(metrics["loss"])
+                accs.append(metrics["acc"])
+                step += 1
+        self._host_step = step
         losses = [float(x) for x in jax.device_get(losses)]
         accs = [float(x) for x in jax.device_get(accs)]
         return {"loss": float(np.mean(losses)) if losses else float("nan"),
@@ -277,11 +382,28 @@ class Trainer:
 
     def _validate(self, batches: Optional[Iterator] = None) -> Dict[str, float]:
         assert self.pipeline is not None or batches is not None
-        it = batches if batches is not None else self.pipeline.val_batches()
         tot_loss, tot_correct, tot_n = 0.0, 0.0, 0.0
-        for batch in it:
-            m = self._eval_step(self.state.params, self.state.batch_stats,
+        if batches is None and self._use_index_mode:
+            idx_list = list(self.pipeline.val_index_batches())
+            idx_all = {k: jnp.asarray(np.stack([d[k] for d in idx_list]))
+                       for k in idx_list[0]}
+            m = jax.device_get(self._eval_scan(
+                self.state.params, self.state.batch_stats, self._corpus,
+                idx_all))
+            n = float(m["count"])
+            if n == 0:
+                return {"loss": float("nan"), "acc": float("nan")}
+            return {"loss": float(m["loss_sum"]) / n,
+                    "acc": float(m["correct"]) / n}
+        else:
+            it = batches if batches is not None \
+                else self.pipeline.val_batches()
+            results = [
+                self._eval_step(self.state.params, self.state.batch_stats,
                                 self._place(batch))
+                for batch in it
+            ]
+        for m in results:
             m = jax.device_get(m)
             tot_loss += float(m["loss_sum"])
             tot_correct += float(m["correct"])
@@ -310,10 +432,11 @@ class Trainer:
 
         # resume: continue after the epochs already in history
         start_epoch = len(self.history["train_loss"])
-        if start_epoch and int(jax.device_get(self.state.step)) == 0:
-            self.state = self.state.replace(
-                step=jnp.asarray(start_epoch * self.pipeline.steps_per_epoch,
-                                 jnp.int32))
+        if start_epoch:
+            self._host_step = start_epoch * self.pipeline.steps_per_epoch
+            if int(jax.device_get(self.state.step)) == 0:
+                self.state = self.state.replace(
+                    step=jnp.asarray(self._host_step, jnp.int32))
 
         t_start = time.time()
         for epoch in range(start_epoch, num_epochs):
@@ -341,7 +464,10 @@ class Trainer:
             if improved:
                 self.best_metric_value = metric_value
                 self.save("best", epoch)
-            if not cfg.training.save_best_only:
+            every = max(1, cfg.training.checkpoint_every_epochs)
+            is_last_epoch = (epoch + 1) == num_epochs
+            if not cfg.training.save_best_only and (
+                    (epoch + 1) % every == 0 or is_last_epoch):
                 self.save("last", epoch)
 
             log.info(
@@ -353,6 +479,8 @@ class Trainer:
 
             if early is not None and early.should_stop:
                 log.info("early stopping at epoch %d", epoch + 1)
+                if not cfg.training.save_best_only:
+                    self.save("last", epoch)
                 break
 
         skipped = int(jax.device_get(self.state.skipped_steps))
