@@ -123,6 +123,12 @@ class DataConfig:
     # 'gather': general affine incl. exact rotation via bilinear gather
     #   (reference-exact geometry; slow on TPU — XLA element gathers)
     geometry_mode: str = "separable"
+    # Deterministic eval/val geometry (ops/preprocess.eval_resample_params):
+    # 'resize_crop': Resize(image_size+10) + CenterCrop(image_size) — the
+    #   reference's multimodal val transform (src/train_multimodal.py:343-353)
+    # 'resize': plain Resize(image_size) — the reference loader's val path
+    #   (src/image_dataset_loader.py:123-140)
+    eval_transform: str = "resize_crop"
     horizontal_flip_prob: float = 0.5
     rotation_degrees: float = 15.0
     # Online (per-step, on-device) rotation. Off by default: the 3-shear

@@ -121,22 +121,27 @@ def _compose_affine(
 # ---------------------------------------------------------------------------
 
 def _axis_weights(scale: jnp.ndarray, shift: jnp.ndarray, out_size: int,
-                  in_size: int) -> jnp.ndarray:
+                  in_size: int, filter_width: float = 1.0) -> jnp.ndarray:
     """Per-image 1-D bilinear interpolation matrices W [B, out, in]:
-    source coordinate src(o) = scale*o + shift; W[b,o,i] = tent(src-i),
-    rows renormalized → clamp-to-edge for out-of-range sources."""
+    source coordinate src(o) = scale*o + shift; W[b,o,i] = tent((src-i)/fw),
+    rows renormalized → clamp-to-edge for out-of-range sources.
+
+    filter_width > 1 widens the tent to PIL's antialiased triangle filter
+    (fw = downscale factor), matching torchvision Resize semantics when
+    downsampling."""
+    fw = float(max(filter_width, 1.0))
     o = jnp.arange(out_size, dtype=jnp.float32)
     i = jnp.arange(in_size, dtype=jnp.float32)
     src = scale[:, None] * o[None, :] + shift[:, None]          # [B, out]
     d = jnp.abs(src[:, :, None] - i[None, None, :])             # [B, out, in]
-    w = jnp.clip(1.0 - d, 0.0, 1.0)
+    w = jnp.clip(1.0 - d / fw, 0.0, 1.0)
     return w / jnp.maximum(w.sum(-1, keepdims=True), 1e-8)
 
 
 def separable_resample(images: jnp.ndarray,
                        scale_y: jnp.ndarray, shift_y: jnp.ndarray,
                        scale_x: jnp.ndarray, shift_x: jnp.ndarray,
-                       out_size: int) -> jnp.ndarray:
+                       out_size: int, filter_width: float = 1.0) -> jnp.ndarray:
     """Axis-aligned affine resample (crop / zoom / translate) of
     [B,H,W,C] via two batched matmuls — exact bilinear, no gathers.
 
@@ -145,8 +150,8 @@ def separable_resample(images: jnp.ndarray,
     """
     B, H, W, C = images.shape
     x = images.astype(jnp.float32)
-    Wy = _axis_weights(scale_y, shift_y, out_size, H)
-    Wx = _axis_weights(scale_x, shift_x, out_size, W)
+    Wy = _axis_weights(scale_y, shift_y, out_size, H, filter_width)
+    Wx = _axis_weights(scale_x, shift_x, out_size, W, filter_width)
     x = jnp.einsum("boh,bhwc->bowc", Wy, x)
     x = jnp.einsum("bpw,bowc->bopc", Wx, x)
     return x
@@ -339,19 +344,54 @@ def train_preprocess(
     return _normalize01(x, dtype)
 
 
+def eval_resample_params(in_size: int, image_size: int, mode: str
+                         ) -> Tuple[float, float, float]:
+    """(scale, shift, filter_width) for the deterministic eval resample,
+    PIL half-pixel convention: src(o) = scale*o + shift.
+
+    mode='resize_crop': Resize(image_size+10) + CenterCrop(image_size) —
+      the reference's multimodal val transform
+      (`src/train_multimodal.py:343-353`). Composed into one resample:
+      resize in→R (R = image_size+10), then take the central image_size
+      pixels, i.e. src(o) = (o + off + 0.5)*(in/R) - 0.5, off = (R-out)/2.
+    mode='resize': plain Resize(image_size) — the reference loader's val
+      path (`src/image_dataset_loader.py:123-140`).
+
+    filter_width is PIL's antialiasing triangle width (the downscale
+    factor), so the output matches torchvision Resize(antialias) bilinear.
+    """
+    if mode == "resize":
+        resize_size = image_size
+    elif mode == "resize_crop":
+        resize_size = image_size + 10
+    else:
+        raise ValueError(f"unknown eval_transform {mode!r}")
+    scale = in_size / resize_size
+    offset = (resize_size - image_size) / 2.0
+    shift = (offset + 0.5) * scale - 0.5
+    return scale, shift, max(scale, 1.0)
+
+
 def eval_preprocess(
     images_uint8: jnp.ndarray,  # [B, S, S, 3] uint8
     cfg: Config,
     dtype: jnp.dtype = jnp.float32,
     use_pallas: bool = True,
 ) -> jnp.ndarray:
-    """Deterministic center crop+resize → normalize (clean val transforms —
+    """Deterministic eval transform → normalize (clean val transforms —
     deliberately NOT reproducing the reference's val-noise quirk,
-    `src/train_small_data.py:93-109`)."""
+    `src/train_small_data.py:93-109`).
+
+    Geometry is selected by cfg.data.eval_transform ('resize_crop' |
+    'resize', see eval_resample_params) and matches the corresponding
+    torchvision/PIL transform stack bilinearly, including antialiasing.
+    """
     d = cfg.data
     B = images_uint8.shape[0]
     in_size = images_uint8.shape[1]
     if in_size == d.image_size:
+        # Staged at target size: host already applied the eval geometry
+        # (inference fast path) — only normalize on device.
         x01 = images_uint8
         if use_pallas:
             from multimodal_rare_disease_tpu.ops.pallas.image_kernels import (
@@ -359,15 +399,12 @@ def eval_preprocess(
             )
             return fused_normalize_u8(x01, dtype=dtype)
         return _normalize01(x01.astype(jnp.float32) / 255.0, dtype)
-    # Resize(256)->CenterCrop(224) equivalence: crop the central
-    # (in * 224/256) window, resample to image_size — separable matmuls
-    crop_scale = jnp.full((B,), min(1.0, (d.image_size / in_size) ** 2
-                                    * (256 / 224) ** 2), jnp.float32)
-    zeros = jnp.zeros((B,), jnp.float32)
-    scale_y, shift_y = _crop_params(float(in_size), float(d.image_size),
-                                    crop_scale, zeros)
-    x = separable_resample(images_uint8, scale_y, shift_y, scale_y, shift_y,
-                           d.image_size) / 255.0
+    scale, shift, fw = eval_resample_params(
+        in_size, d.image_size, getattr(d, "eval_transform", "resize_crop"))
+    scale_b = jnp.full((B,), scale, jnp.float32)
+    shift_b = jnp.full((B,), shift, jnp.float32)
+    x = separable_resample(images_uint8, scale_b, shift_b, scale_b, shift_b,
+                           d.image_size, filter_width=fw) / 255.0
     return _normalize01(x, dtype)
 
 

@@ -48,9 +48,11 @@ def test_golden_eval_preprocess():
         np.random.default_rng(1).integers(0, 256, (1, 256, 256, 3),
                                           dtype=np.uint8))
     out = np.asarray(eval_preprocess(u8, cfg, use_pallas=False))
-    # pinned statistics of the deterministic center crop+normalize
-    assert abs(float(out.mean()) - 0.22751) < 2e-3, float(out.mean())
-    assert abs(float(out.std()) - 0.86475) < 2e-2, float(out.std())
+    # pinned statistics of the deterministic resize_crop+normalize
+    # (repinned 2026-08-16 when eval geometry became PIL-exact
+    # Resize(234)+CenterCrop(224) with antialiasing)
+    assert abs(float(out.mean()) - 0.22729) < 2e-3, float(out.mean())
+    assert abs(float(out.std()) - 0.79366) < 2e-2, float(out.std())
 
 
 def test_golden_train_preprocess_seeded():

@@ -135,3 +135,76 @@ def test_train_preprocess_with_blur_noise_flags():
     assert out.shape == (4, 32, 32, 3)
     assert np.isfinite(np.asarray(out)).all()
     del cfg2
+
+
+# ---------------------------------------------------------------------------
+# PIL-parity for the deterministic eval geometry (VERDICT r1 item 4):
+# our one-pass separable resample must equal torchvision's
+# Resize(+10)+CenterCrop (multimodal val, ref src/train_multimodal.py:343-353)
+# and plain Resize (loader val, ref src/image_dataset_loader.py:123-140),
+# both of which are PIL bilinear with antialiasing.
+# ---------------------------------------------------------------------------
+
+def _pil_reference(u8_img, mode, image_size=224):
+    from PIL import Image
+
+    im = Image.fromarray(u8_img)
+    if mode == "resize_crop":
+        r = image_size + 10
+        im = im.resize((r, r), Image.BILINEAR)
+        off = (r - image_size) // 2
+        arr = np.asarray(im)[off:off + image_size, off:off + image_size]
+    else:
+        arr = np.asarray(im.resize((image_size, image_size), Image.BILINEAR))
+    x = arr.astype(np.float32) / 255.0
+    return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def _real_corpus_image():
+    from pathlib import Path
+
+    from PIL import Image
+
+    p = sorted(Path("/root/reference/data/images").glob("*.png"))
+    if not p:
+        pytest.skip("reference corpus not available")
+    return np.asarray(Image.open(p[0]).convert("RGB"))
+
+
+@pytest.mark.parametrize("mode", ["resize_crop", "resize"])
+def test_eval_preprocess_matches_pil(mode):
+    img = _real_corpus_image()
+    assert img.shape == (256, 256, 3)
+    cfg = resolve_config(overrides={"data.eval_transform": mode})
+    ours = np.asarray(
+        eval_preprocess(jnp.asarray(img[None]), cfg, use_pallas=False))[0]
+    ref = _pil_reference(img, mode)
+    # PIL rounds the resized image to uint8 (±0.5/255 per pixel, ~0.009
+    # after /std); our path stays float throughout.
+    np.testing.assert_allclose(ours, ref, atol=2.5e-2)
+    # mean |err| floor from PIL's uint8 output rounding is ~0.0044 (/std);
+    # anything well above that would indicate a geometry mismatch
+    assert float(np.abs(ours - ref).mean()) < 6.5e-3
+
+
+def test_eval_resize_crop_actually_crops():
+    # Regression for the round-1 self-cancelling crop_scale formula: a
+    # border-only feature must be cropped out by resize_crop geometry.
+    from multimodal_rare_disease_tpu.ops.preprocess import eval_resample_params
+
+    scale, shift, fw = eval_resample_params(256, 224, "resize_crop")
+    # first output pixel samples strictly inside the image (border cropped)
+    assert shift > 4.0, (scale, shift)
+    # and resize mode starts at the border
+    scale_r, shift_r, _ = eval_resample_params(256, 224, "resize")
+    assert abs(shift_r - (0.5 * scale_r - 0.5)) < 1e-6
+
+    img = np.zeros((256, 256, 3), np.uint8)
+    img[:2, :, :] = 255  # bright top border strip
+    cfg = resolve_config(overrides={"data.eval_transform": "resize_crop"})
+    out = np.asarray(
+        eval_preprocess(jnp.asarray(img[None]), cfg, use_pallas=False))[0]
+    black = (np.zeros(3, np.float32) - IMAGENET_MEAN) / IMAGENET_STD
+    # top row of the output equals normalized black: the strip was cropped
+    np.testing.assert_allclose(out[0], np.broadcast_to(black, out[0].shape),
+                               atol=1e-3)
