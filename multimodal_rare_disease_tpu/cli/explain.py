@@ -106,11 +106,19 @@ def main(argv=None) -> int:
 
             import jax.numpy as jnp
 
+            from multimodal_rare_disease_tpu.ops.preprocess import (
+                eval_preprocess,
+            )
+
+            # attention must be computed for the ACTUAL sample image —
+            # a blank image would render cross-modal attention for the
+            # wrong input (notebook cells 7/9 use the same sample)
+            x = eval_preprocess(jnp.asarray(img[None]), cfg,
+                                use_pallas=False)
             out = predictor.model.apply(
                 {"params": predictor.params,
                  "batch_stats": predictor.batch_stats},
-                jnp.zeros((1, cfg.data.image_size, cfg.data.image_size, 3)),
-                jnp.asarray(ids_b), jnp.asarray(mask_b),
+                x, jnp.asarray(ids_b), jnp.asarray(mask_b),
                 train=False, return_attention=True)
             summary = cross_modal_attention_summary(out["attention_info"])
             plot_cross_modal_attention(summary,

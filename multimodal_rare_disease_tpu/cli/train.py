@@ -94,15 +94,27 @@ def main(argv=None) -> int:
     from multimodal_rare_disease_tpu.train.pipeline import DataPipeline
 
     if args.data == "fgdd":
-        if args.mode != "text_only":
-            parser.error("--data fgdd supports --mode text_only (the FGDD "
-                         "corpus is phenotype text; see PARITY.md on the "
-                         "reference's non-semantic image pairing)")
-        from multimodal_rare_disease_tpu.train.text_pipeline import (
-            fgdd_text_pipeline,
-        )
+        if args.mode == "text_only":
+            from multimodal_rare_disease_tpu.train.text_pipeline import (
+                fgdd_text_pipeline,
+            )
 
-        pipeline = fgdd_text_pipeline(cfg)
+            pipeline = fgdd_text_pipeline(cfg)
+        elif args.mode == "multimodal":
+            # reference parity: cycle-pair FGDD texts onto corpus images,
+            # labels from images (`src/train.py:797-811`). The pairing is
+            # non-semantic — documented in PARITY.md.
+            from multimodal_rare_disease_tpu.train.text_pipeline import (
+                fgdd_multimodal_pipeline,
+            )
+
+            print("note: FGDD multimodal pairing cycles unrelated texts "
+                  "onto corpus images (labels from images) — reference-"
+                  "parity behavior, see PARITY.md")
+            pipeline = fgdd_multimodal_pipeline(cfg, image_dir=image_dir)
+        else:
+            parser.error("--data fgdd supports --mode text_only or "
+                         "multimodal (see PARITY.md)")
     else:
         pipeline = DataPipeline(cfg, mode=args.mode, image_dir=image_dir)
     trainer = Trainer(cfg, mode=args.mode, pipeline=pipeline,

@@ -141,10 +141,22 @@ class DataConfig:
     brightness_factor: float = 0.2
     contrast_factor: float = 0.2
     saturation_factor: float = 0.2
+    # hue jitter in fractions of the hue circle (torchvision ColorJitter
+    # hue=0.1, ref src/train_multimodal.py:332); elementwise HSV round
+    # trip on device — fuses into the augmentation pipeline for free
+    hue_factor: float = 0.1
     crop_scale_min: float = 0.8
     random_erasing_prob: float = 0.0
     gaussian_blur_prob: float = 0.0
     gaussian_noise_std: float = 0.0
+    # Albumentations-tier extras (ref src/enhanced_augmentation.py:28-128),
+    # off by default like the reference's optional stack:
+    perspective_prob: float = 0.0       # RandomPerspective p
+    perspective_distortion: float = 0.2
+    clahe_prob: float = 0.0             # contrast-limited equalization
+    elastic_prob: float = 0.0           # elastic deformation
+    coarse_dropout_prob: float = 0.0    # multi-hole cutout
+    coarse_dropout_holes: int = 8
     # Mixup (ref MixupDataset, src/enhanced_augmentation.py:249-285):
     # 0 disables; >0 draws lambda ~ Beta(alpha, alpha) per step and mixes
     # images + targets on device inside the train step
@@ -154,6 +166,8 @@ class DataConfig:
 
     # Host pipeline
     prefetch_batches: int = 2
+    # Train batches always drop the ragged tail (static shapes keep one
+    # compiled step); steps_per_epoch = floor(draws / batch_size) to match.
     drop_remainder_train: bool = True
 
 
@@ -280,6 +294,10 @@ class TrainingConfig:
 
     gradient_clip_val: float = 1.0
     use_class_weights: bool = True
+    # HBM budget for the device-resident corpus fast path; larger corpora
+    # automatically stream from host instead (documented cliff: ~107 s vs
+    # seconds per epoch over this environment's TPU tunnel)
+    device_corpus_budget_gb: float = 4.0
     nan_guard: bool = True  # skip non-finite update steps, count them
     # debug mode: jax_debug_nans — error at the op producing the first NaN
     # (TPU analogue of the reference's NaN print-and-skip diagnostics)

@@ -216,14 +216,64 @@ def leakage_aware_split(
 # host decode
 # ---------------------------------------------------------------------------
 
+# -- face-detection hook ------------------------------------------------
+#
+# Parity slot for the reference's optional MTCNN FaceDetector
+# (`src/image_dataset_loader.py:27-77`): a detector is any callable
+# mapping an RGB uint8 array to a (top, left, height, width) crop box or
+# None. The reference degrades gracefully to a plain resize when
+# facenet-pytorch is absent — which is its shipped default — so the
+# fallback here is the same resize path. Register a real detector with
+# `set_face_detector` (e.g. a converted MTCNN or any external model).
+
+_FACE_DETECTOR = None
+
+
+def set_face_detector(detector) -> None:
+    """Install a face detector: callable(np.uint8 [H,W,3]) ->
+    (top, left, height, width) or None. Pass None to disable."""
+    global _FACE_DETECTOR
+    _FACE_DETECTOR = detector
+
+
+def _face_crop(arr: np.ndarray) -> np.ndarray:
+    """Apply the registered detector with a margin, like the reference's
+    FaceDetector.detect_and_crop (20% margin, fallback = full frame)."""
+    if _FACE_DETECTOR is None:
+        return arr
+    try:
+        box = _FACE_DETECTOR(arr)
+    except Exception as e:  # noqa: BLE001 — detector failure = resize path
+        log.warning("face detector failed (%s); using full frame", e)
+        return arr
+    if box is None:
+        return arr
+    top, left, h, w = (int(v) for v in box)
+    m_h, m_w = int(h * 0.2), int(w * 0.2)
+    y0 = max(0, top - m_h)
+    x0 = max(0, left - m_w)
+    y1 = min(arr.shape[0], top + h + m_h)
+    x1 = min(arr.shape[1], left + w + m_w)
+    if y1 <= y0 or x1 <= x0:
+        return arr
+    return arr[y0:y1, x0:x1]
+
+
 def load_image_uint8(path: str, size: int = 256) -> np.ndarray:
-    """Decode to RGB uint8 [size, size, 3]; gray placeholder on failure."""
+    """Decode to RGB uint8 [size, size, 3]; optional face crop (see
+    set_face_detector); gray placeholder on failure."""
     try:
         with Image.open(path) as im:
             im = im.convert("RGB")
-            if im.size != (size, size):
-                im = im.resize((size, size), Image.BILINEAR)
             arr = np.asarray(im, np.uint8)
+        if _FACE_DETECTOR is not None:
+            cropped = _face_crop(arr)
+            if cropped.shape != arr.shape:
+                arr = cropped
+        if arr.shape[:2] != (size, size):
+            arr = np.asarray(
+                Image.fromarray(arr).resize((size, size), Image.BILINEAR),
+                np.uint8)
         if arr.shape != (size, size, 3):
             raise ValueError(f"bad shape {arr.shape}")
         return arr

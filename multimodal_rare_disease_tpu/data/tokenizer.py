@@ -246,16 +246,13 @@ class BertWordPieceTokenizer:
     _native_lib = None
 
     def _native_ok(self, texts) -> bool:
-        """The C++ core is byte-exact for text without CJK codepoints and,
-        in lowercase mode, without non-ASCII (no accent stripping)."""
-        from multimodal_rare_disease_tpu.data.tokenizer import _is_cjk
-
-        for t in texts:
-            if self.basic.do_lower_case and not t.isascii():
-                return False
-            if not t.isascii() and any(_is_cjk(ord(ch)) for ch in t):
-                return False
-        return True
+        """The C++ core is byte-exact for ASCII text only: it classifies
+        whitespace/punctuation/control with ASCII tables, so any non-ASCII
+        input (en-dashes, NBSP, accents, CJK, ...) could tokenize
+        differently from the Python reference path. Route all non-ASCII
+        batches to Python so training (encode) and inference (encode_batch)
+        always agree."""
+        return all(t.isascii() for t in texts)
 
     def _native_encode_batch(self, texts, max_length: int):
         try:

@@ -36,7 +36,7 @@ class GradCAM:
         self.batch_stats = batch_stats
 
         def compute(params, batch_stats, images_u8, input_ids, attention_mask,
-                    class_idx):
+                    class_idx, use_argmax):
             variables = {"params": params, "batch_stats": batch_stats}
             x = eval_preprocess(images_u8, cfg, use_pallas=False)
             feats = self.model.apply(variables, x,
@@ -57,7 +57,10 @@ class GradCAM:
                         variables, fm, method="logits_from_image_features")
 
             logits, vjp = jax.vjp(tail, fmap)
-            onehot = jax.nn.one_hot(class_idx, logits.shape[-1],
+            # single pass: the CAM class defaults to the argmax computed
+            # from the same forward (no separate prediction run)
+            target = jnp.argmax(logits, axis=-1) if use_argmax else class_idx
+            onehot = jax.nn.one_hot(target, logits.shape[-1],
                                     dtype=logits.dtype)
             (grad,) = vjp(onehot)  # dscore/dA [B, h, w, C]
 
@@ -68,7 +71,7 @@ class GradCAM:
             cam = (cam - cam_min) / jnp.maximum(cam_max - cam_min, 1e-8)
             return cam, logits
 
-        self._compute = jax.jit(compute)
+        self._compute = jax.jit(compute, static_argnames=("use_argmax",))
 
     def __call__(self, images_u8: np.ndarray,
                  input_ids: Optional[np.ndarray] = None,
@@ -82,17 +85,14 @@ class GradCAM:
         if input_ids is None:
             input_ids = jnp.zeros((B, 1), jnp.int32)
             attention_mask = jnp.ones((B, 1), jnp.int32)
-        if class_idx is None:
-            # one cheap forward to get predictions
-            cam0, logits = self._compute(self.params, self.batch_stats,
-                                         images_u8, jnp.asarray(input_ids),
-                                         jnp.asarray(attention_mask),
-                                         jnp.zeros((B,), jnp.int32))
-            class_idx = jnp.argmax(logits, axis=-1)
+        use_argmax = class_idx is None
+        if use_argmax:
+            class_idx = jnp.zeros((B,), jnp.int32)  # ignored
         cam, logits = self._compute(self.params, self.batch_stats, images_u8,
                                     jnp.asarray(input_ids),
                                     jnp.asarray(attention_mask),
-                                    jnp.asarray(class_idx))
+                                    jnp.asarray(class_idx),
+                                    use_argmax=use_argmax)
         return np.asarray(cam), np.asarray(logits)
 
 

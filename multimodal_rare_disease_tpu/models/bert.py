@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -23,6 +24,23 @@ from flax import linen as nn
 from multimodal_rare_disease_tpu.config import TextEncoderConfig
 
 Dtype = Any
+
+
+def _gelu_exact_erf(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact GELU via lax.erf: x/2 * (1 + erf(x/sqrt(2))).
+
+    Same math as HF BERT's "gelu" activation (torch.nn.functional.gelu
+    default, ref `src/text_encoder.py` encoder stacks), but deliberately
+    NOT jax.nn.gelu(approximate=False): that lowers through erfc, whose
+    XLA expansion is a ~60-op f32 rational (with exp and divides) per
+    element — measured 2.6 ms per FFN at B=256/T=128 on v5e because the
+    whole expansion is recomputed as a matmul prologue (31 ms/step across
+    12 layers; see artifacts/profile_trace.py). lax.erf's f32 expansion
+    is a short polynomial.
+    """
+    xf = x.astype(jnp.float32)
+    y = 0.5 * xf * (1.0 + jax.lax.erf(xf * np.float32(0.7071067811865476)))
+    return y.astype(x.dtype)
 
 
 class BertSelfAttention(nn.Module):
@@ -114,7 +132,7 @@ class BertLayer(nn.Module):
         inter = MaybeQuantDenseGeneral(
             self.intermediate_size, quantized=q8, dtype=self.dtype,
             param_dtype=self.param_dtype, name="intermediate")(hidden)
-        inter = nn.gelu(inter, approximate=False)
+        inter = _gelu_exact_erf(inter)
         out = MaybeQuantDenseGeneral(
             self.hidden_size, quantized=q8, dtype=self.dtype,
             param_dtype=self.param_dtype, name="output")(inter)

@@ -87,9 +87,15 @@ class MaybeQuantDenseGeneral(nn.Module):
 
         if self.quantized:
             y = int8_matmul(x2, w2)
-        else:
-            y = jnp.dot(x2.astype(self.dtype), w2.astype(self.dtype),
-                        preferred_element_type=jnp.float32)
+            y = y.reshape(batch_shape + features)
+            return (y + bias.astype(jnp.float32)).astype(self.dtype)
+        # Emit the dot in compute dtype directly (MXU still accumulates
+        # f32 internally). Forcing preferred_element_type=f32 here made
+        # XLA fuse the f32 output + convert + downstream LayerNorm
+        # mean/var reduces into the matmul kernel, which ran ~3.3x slower
+        # than the plain matmul (2.62 ms vs ~0.8 ms per FFN output
+        # projection at B=256/T=128 on v5e — 31 ms/step total across the
+        # 12 layers; see artifacts/profile_trace.py).
+        y = jnp.dot(x2.astype(self.dtype), w2.astype(self.dtype))
         y = y.reshape(batch_shape + features)
-        y = y + bias.astype(jnp.float32)
-        return y.astype(self.dtype)
+        return y + bias.astype(self.dtype)

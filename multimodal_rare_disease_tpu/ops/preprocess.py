@@ -193,6 +193,48 @@ def color_jitter(images: jnp.ndarray, key: jax.Array,
     return jnp.clip(x, 0.0, 1.0)
 
 
+def hue_jitter(images: jnp.ndarray, key: jax.Array, hue: float
+               ) -> jnp.ndarray:
+    """Per-image random hue rotation on [B,H,W,3] in [0,1] (torchvision
+    ColorJitter hue parity, ref `src/train_multimodal.py:332` hue=0.1):
+    exact RGB→HSV, h += U(-hue, hue) mod 1, HSV→RGB. Purely elementwise
+    (max/min/select), so XLA fuses it into the surrounding augmentation
+    chain at zero extra HBM traffic."""
+    delta = jax.random.uniform(key, (images.shape[0], 1, 1),
+                               minval=-hue, maxval=hue)
+    return hue_rotate(images, delta)
+
+
+def hue_rotate(images: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
+    """Deterministic hue rotation by `delta` [B,1,1] fractions of the
+    hue circle (the core of hue_jitter; PIL/colorsys HSV semantics)."""
+    r, g, b = images[..., 0], images[..., 1], images[..., 2]
+    mx = jnp.maximum(jnp.maximum(r, g), b)
+    mn = jnp.minimum(jnp.minimum(r, g), b)
+    diff = mx - mn
+    safe = jnp.where(diff > 0, diff, 1.0)
+    h = jnp.where(
+        mx == r, (g - b) / safe,
+        jnp.where(mx == g, 2.0 + (b - r) / safe, 4.0 + (r - g) / safe)) / 6.0
+    h = jnp.where(diff > 0, jnp.mod(h, 1.0), 0.0)
+    s = jnp.where(mx > 0, diff / jnp.maximum(mx, 1e-12), 0.0)
+    v = mx
+
+    h = jnp.mod(h + delta, 1.0)
+
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    conds = [i == k for k in range(6)]
+    r2 = jnp.select(conds, [v, q, p, p, t, v])
+    g2 = jnp.select(conds, [t, v, v, q, p, p])
+    b2 = jnp.select(conds, [p, p, t, v, v, q])
+    return jnp.stack([r2, g2, b2], axis=-1)
+
+
 def normalize_images(images: jnp.ndarray,
                      dtype: jnp.dtype = jnp.float32) -> jnp.ndarray:
     """[B,H,W,3] in [0,1] (or uint8 0..255) → ImageNet-normalized dtype."""
@@ -278,6 +320,156 @@ def random_erasing(images: jnp.ndarray, key: jax.Array, prob: float,
     return jnp.where(apply & inside, 0.0, images)
 
 
+def coarse_dropout(images: jnp.ndarray, key: jax.Array, prob: float,
+                   num_holes: int = 8,
+                   hole_frac: Tuple[float, float] = (0.02, 0.035)
+                   ) -> jnp.ndarray:
+    """N-hole generalization of random_erasing (albumentations
+    CoarseDropout parity, ref `src/enhanced_augmentation.py:93-99`):
+    up to `num_holes` small rectangles zeroed per image, fixed-shape via
+    masking (no gathers)."""
+    B, H, W, _ = images.shape
+    kp, kn, ka, ky, kx = jax.random.split(key, 5)
+    apply = jax.random.uniform(kp, (B, 1, 1, 1)) < prob
+    # albumentations draws holes in [1, max_holes]
+    n_active = jax.random.randint(kn, (B,), 1, num_holes + 1)
+    frac = jax.random.uniform(ka, (B, num_holes), minval=hole_frac[0],
+                              maxval=hole_frac[1])
+    side_h = jnp.sqrt(frac) * H
+    side_w = jnp.sqrt(frac) * W
+    y0 = jax.random.uniform(ky, (B, num_holes)) * (H - side_h)
+    x0 = jax.random.uniform(kx, (B, num_holes)) * (W - side_w)
+    active = (jnp.arange(num_holes)[None, :] < n_active[:, None])
+    yy = jnp.arange(H, dtype=jnp.float32)[None, None, :, None]
+    xx = jnp.arange(W, dtype=jnp.float32)[None, None, None, :]
+    inside = ((yy >= y0[:, :, None, None]) & (yy < (y0 + side_h)[:, :, None, None])
+              & (xx >= x0[:, :, None, None]) & (xx < (x0 + side_w)[:, :, None, None])
+              & active[:, :, None, None])
+    hole = jnp.any(inside, axis=1)[..., None]  # [B,H,W,1]
+    return jnp.where(apply & hole, 0.0, images)
+
+
+def perspective_resample(images: jnp.ndarray, homographies: jnp.ndarray,
+                         out_size: int) -> jnp.ndarray:
+    """Batched projective warp: [B,H,W,C] x [B,3,3] -> [B,out,out,C].
+
+    `homographies` map OUTPUT (y, x, 1) to INPUT homogeneous coords.
+    Gather-based like affine_resample — parity path, not a hot path.
+    """
+    images = images.astype(jnp.float32)
+
+    def one(img, Hm):
+        ii = jnp.arange(out_size, dtype=jnp.float32)
+        gy, gx = jnp.meshgrid(ii, ii, indexing="ij")
+        d = Hm[2, 0] * gy + Hm[2, 1] * gx + Hm[2, 2]
+        d = jnp.where(jnp.abs(d) < 1e-8, 1e-8, d)
+        ys = (Hm[0, 0] * gy + Hm[0, 1] * gx + Hm[0, 2]) / d
+        xs = (Hm[1, 0] * gy + Hm[1, 1] * gx + Hm[1, 2]) / d
+        return _bilinear_sample(img, ys, xs)
+
+    return jax.vmap(one)(images, homographies)
+
+
+def _solve_homography(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
+    """DLT: 4 point pairs (y,x) src→dst per image → [B,3,3] H with
+    H @ (src_y, src_x, 1) ∝ (dst_y, dst_x, 1)."""
+    B = src.shape[0]
+    rows = []
+    for i in range(4):
+        sy, sx = src[:, i, 0], src[:, i, 1]
+        dy, dx = dst[:, i, 0], dst[:, i, 1]
+        one = jnp.ones_like(sy)
+        zero = jnp.zeros_like(sy)
+        rows.append(jnp.stack([sy, sx, one, zero, zero, zero,
+                               -dy * sy, -dy * sx], -1))
+        rows.append(jnp.stack([zero, zero, zero, sy, sx, one,
+                               -dx * sy, -dx * sx], -1))
+    A = jnp.stack(rows, axis=1)                              # [B, 8, 8]
+    b = jnp.stack([jnp.stack([dst[:, i, 0], dst[:, i, 1]], -1)
+                   for i in range(4)], 1).reshape(B, 8)
+    h = jnp.linalg.solve(A, b[..., None])[..., 0]            # [B, 8]
+    return jnp.concatenate([h, jnp.ones((B, 1), h.dtype)],
+                           -1).reshape(B, 3, 3)
+
+
+def random_perspective(images: jnp.ndarray, key: jax.Array,
+                       distortion_scale: float = 0.2, prob: float = 0.5
+                       ) -> jnp.ndarray:
+    """torchvision RandomPerspective parity (ref
+    `src/enhanced_augmentation.py:44-46`): each corner is displaced
+    inward by U(0, distortion_scale·half); the image is warped so the
+    full frame maps onto the displaced quad."""
+    B, H, W, _ = images.shape
+    kc, kp = jax.random.split(key)
+    d = jax.random.uniform(kc, (B, 4, 2)) * distortion_scale
+    corners = jnp.asarray([[0.0, 0.0], [0.0, W - 1.0],
+                           [H - 1.0, 0.0], [H - 1.0, W - 1.0]],
+                          jnp.float32)
+    sign = jnp.asarray([[1, 1], [1, -1], [-1, 1], [-1, -1]], jnp.float32)
+    half = jnp.asarray([(H - 1) / 2.0, (W - 1) / 2.0], jnp.float32)
+    endpoints = corners[None] + sign[None] * d * half[None, None]
+    # output→input map: output frame corners come FROM the endpoints
+    Hm = _solve_homography(jnp.broadcast_to(corners[None], endpoints.shape),
+                           endpoints)
+    warped = perspective_resample(images, Hm, H)
+    apply = jax.random.uniform(kp, (B, 1, 1, 1)) < prob
+    return jnp.where(apply, warped, images.astype(jnp.float32))
+
+
+def clahe_batch(images: jnp.ndarray, clip_limit: float = 4.0,
+                num_bins: int = 64) -> jnp.ndarray:
+    """Contrast-limited GLOBAL histogram equalization on the luminance
+    channel of [B,H,W,3] in [0,1] (device-side analogue of albumentations
+    CLAHE, ref `src/enhanced_augmentation.py:85-92`; global rather than
+    8×8-tiled — one CDF per image keeps it reduction-shaped for the VPU,
+    no per-tile gathers).
+
+    The clip limit is expressed as a multiple of the uniform bin count
+    (albumentations semantics); excess mass is redistributed uniformly.
+    """
+    x = images.astype(jnp.float32)
+    lum = 0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2]
+    B, H, W = lum.shape
+    n = H * W
+    idx = jnp.clip((lum * num_bins).astype(jnp.int32), 0, num_bins - 1)
+    onehot = jax.nn.one_hot(idx, num_bins, dtype=jnp.float32)
+    hist = jnp.sum(onehot, axis=(1, 2))                      # [B, bins]
+    limit = clip_limit * n / num_bins
+    clipped = jnp.minimum(hist, limit)
+    excess = (jnp.sum(hist - clipped, axis=-1, keepdims=True) / num_bins)
+    hist = clipped + excess
+    cdf = jnp.cumsum(hist, axis=-1) / n                      # [B, bins]
+    # map each pixel's luminance through the per-image CDF (one-hot dot —
+    # gather-free) and rescale RGB by the luminance ratio
+    mapped = jnp.einsum("bhwk,bk->bhw", onehot, cdf)
+    ratio = mapped / jnp.maximum(lum, 1e-6)
+    return jnp.clip(x * ratio[..., None], 0.0, 1.0)
+
+
+def elastic_transform(images: jnp.ndarray, key: jax.Array,
+                      alpha: float = 30.0, sigma: float = 6.0,
+                      prob: float = 1.0) -> jnp.ndarray:
+    """Elastic deformation (albumentations ElasticTransform parity, ref
+    `src/enhanced_augmentation.py:100-106`): a Gaussian-smoothed random
+    displacement field bends the sampling grid. Gather-based — parity
+    path for the albumentations-tier stack, off by default."""
+    B, H, W, _ = images.shape
+    kd, kp = jax.random.split(key)
+    disp = jax.random.uniform(kd, (B, H, W, 2), minval=-1.0, maxval=1.0)
+    disp = gaussian_blur(disp, sigma=sigma,
+                         kernel_size=int(2 * np.ceil(2 * sigma) + 1)) * alpha
+
+    def one(img, d):
+        ii = jnp.arange(H, dtype=jnp.float32)
+        jj = jnp.arange(W, dtype=jnp.float32)
+        gy, gx = jnp.meshgrid(ii, jj, indexing="ij")
+        return _bilinear_sample(img, gy + d[..., 0], gx + d[..., 1])
+
+    warped = jax.vmap(one)(images.astype(jnp.float32), disp)
+    apply = jax.random.uniform(kp, (B, 1, 1, 1)) < prob
+    return jnp.where(apply, warped, images.astype(jnp.float32))
+
+
 # ---------------------------------------------------------------------------
 # public pipelines
 # ---------------------------------------------------------------------------
@@ -331,6 +523,9 @@ def train_preprocess(
 
     x = color_jitter(x, k_jit, d.brightness_factor, d.contrast_factor,
                      d.saturation_factor)
+    if getattr(d, "hue_factor", 0.0) > 0:
+        k_jit, k_hue = jax.random.split(k_jit)
+        x = hue_jitter(x, k_hue, d.hue_factor)
     if d.gaussian_blur_prob > 0 or d.gaussian_noise_std > 0:
         k_blur, k_bsel, k_noise = jax.random.split(k_erase, 3)
         if d.gaussian_blur_prob > 0:
@@ -341,6 +536,24 @@ def train_preprocess(
             x = gaussian_noise(x, k_noise, d.gaussian_noise_std)
     if d.random_erasing_prob > 0:
         x = random_erasing(x, k_erase, d.random_erasing_prob)
+    # albumentations-tier extras (all default-off, ref
+    # src/enhanced_augmentation.py:28-128)
+    if getattr(d, "perspective_prob", 0.0) > 0:
+        k_jit, kk = jax.random.split(k_jit)
+        x = random_perspective(x, kk, d.perspective_distortion,
+                               d.perspective_prob)
+    if getattr(d, "clahe_prob", 0.0) > 0:
+        k_jit, kk, ks = jax.random.split(k_jit, 3)
+        eq = clahe_batch(x)
+        sel = jax.random.uniform(ks, (B, 1, 1, 1)) < d.clahe_prob
+        x = jnp.where(sel, eq, x)
+    if getattr(d, "elastic_prob", 0.0) > 0:
+        k_jit, kk = jax.random.split(k_jit)
+        x = elastic_transform(x, kk, prob=d.elastic_prob)
+    if getattr(d, "coarse_dropout_prob", 0.0) > 0:
+        k_jit, kk = jax.random.split(k_jit)
+        x = coarse_dropout(x, kk, d.coarse_dropout_prob,
+                           num_holes=d.coarse_dropout_holes)
     return _normalize01(x, dtype)
 
 

@@ -149,11 +149,22 @@ class DataPipeline:
 
     @property
     def steps_per_epoch(self) -> int:
+        """Number of train batches actually yielded per epoch.
+
+        Always floor(draws / batch_size): the index iterators drop the
+        ragged tail unconditionally (static batch shapes), so the LR
+        schedule length, resume step counter, and logged steps must agree
+        with floor — a ceil here would desynchronize them.
+        """
         n = (len(self.train_samples)
              * max(1, self.cfg.data.augmentation_factor))
         b = self.cfg.training.batch_size
-        return max(1, n // b if self.cfg.data.drop_remainder_train
-                   else -(-n // b))
+        if n < b:
+            raise ValueError(
+                f"epoch draw ({n} = {len(self.train_samples)} samples x "
+                f"augmentation_factor) is smaller than batch_size ({b}); "
+                "reduce training.batch_size or raise data.augmentation_factor")
+        return n // b
 
     def _indices_for_epoch(self) -> np.ndarray:
         n_draw = len(self.train_samples) * max(1, self.cfg.data.augmentation_factor)

@@ -38,13 +38,16 @@ class TrainState(struct.PyTreeNode):
     grad_tx: optax.GradientTransformation = struct.field(pytree_node=False)
     optimizer_kind: str = struct.field(pytree_node=False)
     weight_decay: float = struct.field(pytree_node=False)
+    gradient_clip_val: float = struct.field(pytree_node=False, default=0.0)
 
 
 def _make_grad_tx(cfg: Config) -> Tuple[optax.GradientTransformation, str]:
+    # NOTE: global-norm clipping is NOT part of this chain — it runs
+    # explicitly in apply_gradients on masked raw gradients, before the
+    # coupled weight-decay term is added (torch order: clip_grad_norm_ on
+    # param-group grads, then optimizer.step() injects wd*p).
     t = cfg.training
     chain = []
-    if t.gradient_clip_val and t.gradient_clip_val > 0:
-        chain.append(optax.clip_by_global_norm(t.gradient_clip_val))
     if t.optimizer in ("adam", "adamw"):
         chain.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
     elif t.optimizer == "sgd":
@@ -75,6 +78,7 @@ def create_train_state(cfg: Config, variables: dict) -> TrainState:
         grad_tx=grad_tx,
         optimizer_kind=kind,
         weight_decay=cfg.training.weight_decay,
+        gradient_clip_val=float(cfg.training.gradient_clip_val or 0.0),
     )
 
 
@@ -86,11 +90,27 @@ def apply_gradients(
     skip: Optional[jnp.ndarray] = None,
 ) -> TrainState:
     """One optimizer step; when `skip` is true (non-finite loss/grads) the
-    whole update is suppressed and the skip counter increments."""
+    whole update is suppressed and the skip counter increments.
+
+    Torch param-group order (ref `src/train_multimodal.py:422-454`):
+    1. zero frozen params' grads (only optimizer-group params exist there)
+    2. clip_grad_norm_ over the remaining (raw) gradients
+    3. optimizer.step() injects the coupled wd*p term (adam/sgd)
+    """
     wd = state.weight_decay
 
+    # 1. frozen params carry no gradient — they must not inflate the
+    #    global norm below
+    grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, state.mask)
+
+    # 2. clip raw gradients by global norm (torch clip_coef formula)
+    if state.gradient_clip_val > 0:
+        gnorm = optax.global_norm(grads)
+        scale = jnp.minimum(1.0, state.gradient_clip_val / (gnorm + 1e-6))
+        grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+
+    # 3. coupled L2: grad += wd * param (torch Adam/SGD semantics)
     if state.optimizer_kind in ("adam", "sgd") and wd > 0:
-        # coupled L2: grad += wd * param (torch Adam/SGD semantics)
         grads = jax.tree_util.tree_map(
             lambda g, p, m: g + wd * p * m, grads, state.params, state.mask)
 

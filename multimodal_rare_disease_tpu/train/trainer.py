@@ -173,17 +173,33 @@ class Trainer:
         log.info("%s model: %.1fM params (%.1fM trainable)", self.mode,
                  total / 1e6, trainable / 1e6)
 
-        # HBM-resident corpus for index-batch mode
+        # HBM-resident corpus for index-batch mode. Auto-selected by
+        # size: beyond the budget the whole-corpus upload would crowd out
+        # activations (v5e has 16 GB HBM), so large corpora fall back to
+        # the streaming host pipeline (slower per epoch over this TPU
+        # tunnel — ~107 s vs seconds on the 550-image corpus — but
+        # unbounded in corpus size).
         self._use_index_mode = (self.pipeline is not None
                                 and hasattr(self.pipeline, "device_corpus"))
         if self._use_index_mode:
-            rep = replicated_sharding(self.mesh)
-            self._corpus = {
-                k: jax.device_put(jnp.asarray(v), rep)
-                for k, v in self.pipeline.device_corpus().items()
-            }
-            nbytes = sum(v.nbytes for v in self._corpus.values())
-            log.info("device-resident corpus: %.1f MB in HBM", nbytes / 1e6)
+            host_corpus = self.pipeline.device_corpus()
+            nbytes = sum(np.asarray(v).nbytes for v in host_corpus.values())
+            budget = float(self.cfg.training.device_corpus_budget_gb) * 1e9
+            if nbytes > budget:
+                log.warning(
+                    "corpus is %.2f GB > device_corpus_budget_gb=%.1f; "
+                    "falling back to streaming host batches (slower per "
+                    "epoch; raise the budget to keep it HBM-resident)",
+                    nbytes / 1e9, self.cfg.training.device_corpus_budget_gb)
+                self._use_index_mode = False
+            else:
+                rep = replicated_sharding(self.mesh)
+                self._corpus = {
+                    k: jax.device_put(jnp.asarray(v), rep)
+                    for k, v in host_corpus.items()
+                }
+                log.info("device-resident corpus: %.1f MB in HBM",
+                         nbytes / 1e6)
         return self.state
 
     # -- compiled steps ----------------------------------------------------
@@ -295,11 +311,15 @@ class Trainer:
             batch = {"labels": labels, "valid": idx["valid"]}
             raw = corpus["val_images"][rows] if mode != "text_only" else None
             if mode != "image_only" and "pool_ids" in corpus:
-                # validation text: level 0 = full clinical description
+                # validation text: level 0 = full clinical description by
+                # default; pipelines with per-sample texts (FGDD pairing)
+                # supply explicit levels/variants per row
                 zeros = jnp.zeros_like(labels)
-                batch["input_ids"] = corpus["pool_ids"][labels, zeros, zeros]
-                batch["attention_mask"] = corpus["pool_mask"][labels, zeros,
-                                                              zeros]
+                lev = idx.get("levels", zeros)
+                var = idx.get("variants", zeros)
+                batch["input_ids"] = corpus["pool_ids"][labels, lev, var]
+                batch["attention_mask"] = corpus["pool_mask"][labels, lev,
+                                                              var]
             return _eval_body(params, batch_stats, batch, raw)
 
         # whole-epoch scan: ONE dispatch per epoch. Over this TPU tunnel a

@@ -41,11 +41,16 @@ def save_checkpoint(
 ) -> None:
     """Write/overwrite a checkpoint directory. `opt_state` (optimizer
     moments) is included for resumable "last" checkpoints — parity with
-    the reference's optimizer_state_dict (`src/train.py:394-422`)."""
+    the reference's optimizer_state_dict (`src/train.py:394-422`).
+
+    Crash-safe: the new checkpoint is fully written to a sibling `.tmp`
+    directory first, then atomically swapped over the old one — an
+    interruption mid-save never destroys the previous best/last."""
     path = Path(path).absolute()
-    if path.exists():
-        shutil.rmtree(path)
-    path.mkdir(parents=True)
+    tmp = path.with_name(path.name + ".tmp")
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    tmp.mkdir(parents=True)
     tree = {
         "params": jax.tree_util.tree_map(np.asarray, params),
         "batch_stats": jax.tree_util.tree_map(np.asarray, batch_stats),
@@ -53,10 +58,19 @@ def save_checkpoint(
     if opt_state is not None:
         tree["opt_state"] = jax.tree_util.tree_map(np.asarray, opt_state)
     ckptr = _checkpointer()
-    ckptr.save(path / _ARRAYS_SUBDIR, tree)
+    ckptr.save(tmp / _ARRAYS_SUBDIR, tree)
     ckptr.wait_until_finished()
-    with open(path / _META_FILE, "w", encoding="utf-8") as f:
+    with open(tmp / _META_FILE, "w", encoding="utf-8") as f:
         json.dump({"step": int(step), **(meta or {})}, f, indent=2, default=str)
+    if path.exists():
+        old = path.with_name(path.name + ".old")
+        if old.exists():
+            shutil.rmtree(old)
+        os.replace(path, old)
+        os.replace(tmp, path)
+        shutil.rmtree(old)
+    else:
+        os.replace(tmp, path)
 
 
 def load_checkpoint(path: str | Path) -> Tuple[Any, Any, Dict[str, Any]]:

@@ -6,6 +6,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # one-epoch trainings: minutes on CPU
+
 from multimodal_rare_disease_tpu.evaluation import Evaluator, compare_models
 from multimodal_rare_disease_tpu.inference import load_predictor
 from multimodal_rare_disease_tpu.train import Trainer

@@ -118,3 +118,43 @@ def test_corrupt_image_placeholder(tmp_path):
     arr = load_image_uint8(str(bad), size=32)
     assert arr.shape == (32, 32, 3)
     assert (arr == 128).all()
+
+
+def test_face_detector_hook(tmp_path):
+    """Face-crop hook parity (ref FaceDetector, image_dataset_loader.py:27-77):
+    registered detector crops with 20% margin; fallback is plain resize."""
+    from PIL import Image
+
+    from multimodal_rare_disease_tpu.data.images import (
+        load_image_uint8,
+        set_face_detector,
+    )
+
+    arr = np.zeros((100, 100, 3), np.uint8)
+    arr[40:60, 40:60] = 255  # bright "face" square in the center
+    p = tmp_path / "face.png"
+    Image.fromarray(arr).save(p)
+
+    # no detector: plain resize keeps dark borders
+    plain = load_image_uint8(str(p), 50)
+    assert plain[0, 0].max() == 0
+
+    # detector returning the bright box: crop (with 20% margin) + resize
+    set_face_detector(lambda a: (40, 40, 20, 20))
+    try:
+        cropped = load_image_uint8(str(p), 50)
+    finally:
+        set_face_detector(None)
+    # the crop is 36x36 around the 20x20 bright square -> much brighter
+    assert cropped.mean() > plain.mean() * 2
+
+    # detector raising: graceful fallback to the resize path
+    def boom(a):
+        raise RuntimeError("no model")
+
+    set_face_detector(boom)
+    try:
+        fb = load_image_uint8(str(p), 50)
+    finally:
+        set_face_detector(None)
+    np.testing.assert_array_equal(fb, plain)

@@ -76,6 +76,17 @@ def test_cjk_falls_back_to_python(tok):
     assert mask[0].sum() >= 4
 
 
+def test_any_non_ascii_falls_back_to_python(tok):
+    # the C++ core classifies whitespace/punct with ASCII tables only:
+    # en-dash, NBSP, smart quotes, accents must all route to Python so
+    # training and inference tokenize identically
+    for t in ["micro–gnathia", "cleft palate", "café lesion",
+              "“broad” forehead"]:
+        assert not tok._native_ok([t]), t
+        assert tok._native_encode_batch([t], 32) is None
+    assert tok._native_ok(["plain ascii text."])
+
+
 def test_native_speedup(tok, clinical_texts):
     texts = clinical_texts * 30  # ~4800 texts
     t0 = time.perf_counter()

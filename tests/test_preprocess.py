@@ -208,3 +208,130 @@ def test_eval_resize_crop_actually_crops():
     # top row of the output equals normalized black: the strip was cropped
     np.testing.assert_allclose(out[0], np.broadcast_to(black, out[0].shape),
                                atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# hue jitter (ref ColorJitter hue=0.1, src/train_multimodal.py:332)
+# ---------------------------------------------------------------------------
+
+def test_hue_rotate_matches_colorsys():
+    import colorsys
+
+    from multimodal_rare_disease_tpu.ops.preprocess import hue_rotate
+
+    rng = np.random.default_rng(3)
+    px = rng.uniform(0, 1, (1, 4, 4, 3)).astype(np.float32)
+    delta = 0.07
+    out = np.asarray(hue_rotate(jnp.asarray(px),
+                                jnp.full((1, 1, 1), delta, jnp.float32)))
+    for i in range(4):
+        for j in range(4):
+            h, s, v = colorsys.rgb_to_hsv(*px[0, i, j])
+            ref = colorsys.hsv_to_rgb((h + delta) % 1.0, s, v)
+            np.testing.assert_allclose(out[0, i, j], ref, atol=1e-5)
+
+
+def test_hue_rotate_preserves_gray_and_value():
+    from multimodal_rare_disease_tpu.ops.preprocess import hue_rotate
+
+    gray = np.full((1, 2, 2, 3), 0.5, np.float32)
+    out = np.asarray(hue_rotate(jnp.asarray(gray),
+                                jnp.full((1, 1, 1), 0.3, jnp.float32)))
+    np.testing.assert_allclose(out, gray, atol=1e-6)
+
+    rng = np.random.default_rng(4)
+    px = rng.uniform(0, 1, (2, 8, 8, 3)).astype(np.float32)
+    out = np.asarray(hue_rotate(jnp.asarray(px),
+                                jnp.full((2, 1, 1), -0.09, jnp.float32)))
+    # value (max channel) and saturation are invariant under hue rotation
+    np.testing.assert_allclose(out.max(-1), px.max(-1), atol=1e-5)
+    np.testing.assert_allclose(out.min(-1), px.min(-1), atol=1e-5)
+
+
+def test_train_preprocess_with_hue():
+    cfg = resolve_config(overrides={"data.image_size": 32,
+                                    "data.hue_factor": 0.1,
+                                    "data.online_rotation": False})
+    u8 = jnp.asarray(np.random.default_rng(0).integers(
+        0, 256, (4, 48, 48, 3), dtype=np.uint8))
+    out = train_preprocess(u8, jax.random.key(1), cfg)
+    assert out.shape == (4, 32, 32, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+# ---------------------------------------------------------------------------
+# albumentations-tier extras (ref src/enhanced_augmentation.py:28-128)
+# ---------------------------------------------------------------------------
+
+def test_coarse_dropout_zeroes_holes():
+    from multimodal_rare_disease_tpu.ops.preprocess import coarse_dropout
+
+    x = jnp.ones((4, 32, 32, 3), jnp.float32)
+    out = np.asarray(coarse_dropout(x, jax.random.key(0), prob=1.0))
+    assert out.min() == 0.0  # at least one hole cut
+    assert out.mean() > 0.8  # holes are small
+    # prob=0 leaves the image untouched
+    out0 = np.asarray(coarse_dropout(x, jax.random.key(0), prob=0.0))
+    np.testing.assert_array_equal(out0, np.ones_like(out0))
+
+
+def test_random_perspective_identity_and_warp():
+    from multimodal_rare_disease_tpu.ops.preprocess import (
+        _solve_homography,
+        perspective_resample,
+    )
+
+    # identity homography reproduces the image
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (2, 16, 16, 3)).astype(np.float32)
+    eye = jnp.broadcast_to(jnp.eye(3), (2, 3, 3))
+    out = np.asarray(perspective_resample(jnp.asarray(img), eye, 16))
+    np.testing.assert_allclose(out, img, atol=1e-5)
+
+    # DLT: solving corners->corners gives identity mapping of the corners
+    c = jnp.asarray([[[0.0, 0], [0, 15], [15, 0], [15, 15]]] * 2)
+    H = _solve_homography(c, c)
+    np.testing.assert_allclose(np.asarray(H[0]), np.eye(3), atol=1e-4)
+
+
+def test_clahe_increases_contrast_of_flat_image():
+    from multimodal_rare_disease_tpu.ops.preprocess import clahe_batch
+
+    rng = np.random.default_rng(1)
+    # low-contrast image clustered around 0.5
+    x = (0.5 + 0.05 * rng.standard_normal((1, 32, 32, 3))).astype(np.float32)
+    x = np.clip(x, 0, 1)
+    out = np.asarray(clahe_batch(jnp.asarray(x)))
+    assert np.isfinite(out).all()
+    assert out.std() > x.std() * 1.2  # contrast stretched
+
+
+def test_elastic_transform_shapes_and_identity_amplitude():
+    from multimodal_rare_disease_tpu.ops.preprocess import elastic_transform
+
+    rng = np.random.default_rng(2)
+    img = rng.uniform(0, 1, (2, 24, 24, 3)).astype(np.float32)
+    out = np.asarray(elastic_transform(jnp.asarray(img), jax.random.key(3),
+                                       alpha=5.0, sigma=3.0))
+    assert out.shape == img.shape
+    assert np.isfinite(out).all()
+    # alpha=0 → identity
+    out0 = np.asarray(elastic_transform(jnp.asarray(img), jax.random.key(3),
+                                        alpha=0.0, sigma=3.0))
+    np.testing.assert_allclose(out0, img, atol=1e-5)
+
+
+def test_train_preprocess_with_extras_enabled():
+    cfg = resolve_config(overrides={
+        "data.image_size": 32,
+        "data.perspective_prob": 0.5,
+        "data.clahe_prob": 0.5,
+        "data.elastic_prob": 0.3,
+        "data.coarse_dropout_prob": 0.5,
+        "data.online_rotation": False,
+    })
+    u8 = jnp.asarray(np.random.default_rng(0).integers(
+        0, 256, (4, 48, 48, 3), dtype=np.uint8))
+    out = train_preprocess(u8, jax.random.key(1), cfg)
+    assert out.shape == (4, 32, 32, 3)
+    assert np.isfinite(np.asarray(out)).all()

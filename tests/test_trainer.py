@@ -9,6 +9,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # one-epoch trainings: minutes on CPU
+
 from multimodal_rare_disease_tpu.config import resolve_config
 from multimodal_rare_disease_tpu.train import Trainer
 from multimodal_rare_disease_tpu.train.freeze import count_params, trainable_mask
