@@ -2,8 +2,10 @@
 
 Usage: PYTHONPATH=/root/repo python artifacts/bench_model.py [component]
   component: full (default) | bert | cnn
+  env BENCH_B overrides the batch size (default 256)
 """
 
+import os
 import sys
 import time
 
@@ -14,7 +16,7 @@ import numpy as np
 from multimodal_rare_disease_tpu.config import resolve_config
 from multimodal_rare_disease_tpu.models import create_model
 
-B = 256
+B = int(os.environ.get("BENCH_B", "256"))
 N = 16
 
 

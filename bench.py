@@ -61,8 +61,9 @@ def main() -> None:
     # NOTE: over the axon tunnel, block_until_ready() does NOT synchronize
     # with device execution — only host readback does, and each call has
     # ~36 ms RTT. So: scan K batches inside ONE jit and read back a scalar,
-    # amortizing the RTT to <3% of the measurement.
-    K = 8
+    # amortizing the RTT to ~2% of the measurement (K=24 ≈ 1.3 s per
+    # timed run at the current ~55 ms step).
+    K = 24
 
     @jax.jit
     def predict_stream(variables, images_u8, input_ids, attention_mask):

@@ -54,7 +54,8 @@ class BertSelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, hidden, attention_bias, attention_mask=None,
-                 train: bool = False, output_attentions: bool = False):
+                 train: bool = False, output_attentions: bool = False,
+                 cls_query_only: bool = False):
         from multimodal_rare_disease_tpu.models.quant import (
             MaybeQuantDenseGeneral,
         )
@@ -71,8 +72,14 @@ class BertSelfAttention(nn.Module):
                                      param_dtype=self.param_dtype,
                                      name="qkv")(hidden)  # [B,T,3,h,d]
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        if cls_query_only:
+            # final-layer fast path: only the CLS position is consumed
+            # downstream, so restrict the query to position 0 (K/V stay
+            # full — CLS attends over the whole sequence). Numerically
+            # identical to slicing the full output at [:, 0].
+            q = q[:, :1]
 
-        use_pallas = (self.fused_attention and not train
+        use_pallas = (self.fused_attention and not train and not cls_query_only
                       and not output_attentions and attention_mask is not None)
         if use_pallas:
             # Pallas kernel: QK^T→softmax→AV entirely in VMEM, no HBM
@@ -112,7 +119,8 @@ class BertLayer(nn.Module):
 
     @nn.compact
     def __call__(self, hidden, attention_bias, attention_mask=None,
-                 train: bool = False, output_attentions: bool = False):
+                 train: bool = False, output_attentions: bool = False,
+                 cls_only: bool = False):
         from multimodal_rare_disease_tpu.models.quant import (
             MaybeQuantDenseGeneral,
         )
@@ -123,7 +131,11 @@ class BertLayer(nn.Module):
             fused_attention=self.fused_attention, quantized=self.quantized,
             dtype=self.dtype, param_dtype=self.param_dtype, name="attention",
         )(hidden, attention_bias, attention_mask=attention_mask, train=train,
-          output_attentions=output_attentions)
+          output_attentions=output_attentions, cls_query_only=cls_only)
+        if cls_only:
+            # the rest of the layer (residual, LNs, FFN) runs on the CLS
+            # position only — 1/T of the tokens (numerics unchanged)
+            hidden = hidden[:, :1]
         attn_out = nn.Dropout(rate=self.dropout)(attn_out, deterministic=not train)
         hidden = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype,
                               param_dtype=self.param_dtype,
@@ -168,8 +180,16 @@ class BertEncoder(nn.Module):
         train: bool = False,
         output_hidden_states: bool = False,
         output_attentions: bool = False,
+        cls_only_final: bool = False,
     ) -> Dict[str, Any]:
+        """When `cls_only_final` (inference fast path), the LAST layer
+        computes only the CLS position (its query attends over the full
+        sequence — numerically identical to slicing the full forward at
+        position 0) and `last_hidden_state` comes out as [B, 1, H].
+        Ignored when full hidden states / attentions are requested."""
         B, T = input_ids.shape
+        cls_only_final = (cls_only_final and not output_hidden_states
+                          and not output_attentions)
         if token_type_ids is None:
             token_type_ids = jnp.zeros_like(input_ids)
         positions = jnp.arange(T)[None, :]
@@ -203,7 +223,8 @@ class BertEncoder(nn.Module):
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"layer{i}",
             )(hidden, bias, attention_mask=attention_mask, train=train,
-              output_attentions=output_attentions)
+              output_attentions=output_attentions,
+              cls_only=cls_only_final and i == self.num_layers - 1)
             if output_hidden_states:
                 all_hidden.append(hidden)
             if output_attentions:
@@ -288,6 +309,10 @@ class TextEncoder(nn.Module):
             train=train,
             output_hidden_states=output_hidden_states,
             output_attentions=output_attentions,
+            # the embedding consumed here is always position 0 (CLS or
+            # pooler), so inference can skip the last layer's other T-1
+            # positions entirely; full forward when states are requested
+            cls_only_final=not train,
         )
         emb = out["pooler_output"] if self.use_pooler_output else out["cls"]
         emb = self.drop(emb, deterministic=not train)

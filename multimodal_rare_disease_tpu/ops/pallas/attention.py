@@ -6,18 +6,27 @@ attention problem (all heads) fits in VMEM: Q/K/V [T, H*D=768] bf16 ≈
 instance computes QK^T → bias → f32 softmax → AV for one batch element
 without ever materializing the [B, heads, T, T] score tensor in HBM.
 
-Why this beats XLA here (measured on v5e, B=256/T=128/12 heads): the XLA
-path materializes the f32 softmax over [256,12,128,128] in HBM — the
-convert+reduce fusions alone cost ~29 ms/batch, ~43% of the whole predict
-step. The fused kernel keeps scores in VMEM so the only HBM traffic is
-Q/K/V in and context out (~200 MB vs ~2.5 GB per 12-layer stack).
+STATUS — measured, and XLA wins at these shapes (config default keeps
+`fused_attention: False`). With an RTT-proof harness (carry-chained
+N=64 scan; the round-1/early-round-2 micro-benchmarks were dominated by
+the ~30 ms axon-tunnel readback and are invalid —
+artifacts/bench_attention_v4.py) on v5e at B=256/T=128/H=12/D=64 bf16:
 
-Grid layout note (v2): round 1 used grid=(B*heads,) with per-(batch,head)
-blocks plus [B,T,H,D]→[B,H,T,D] transposes around the call; the 3072 tiny
-grid steps and the 4 extra full-tensor HBM transpose passes made it SLOWER
-than XLA (2.46k vs 3.48k pairs/s). v2 uses grid=(B,), keeps the native
-[B, T, H*D] layout produced by the fused QKV projection (reshape is free),
-and slices heads as static lane offsets inside the kernel.
+    xla softmax(QK^T)V         0.37 ms/layer-batch   <- default path
+    this kernel (grid=(B,))    1.49 ms
+    v3a batched G=8 per step   0.98 ms
+    jax.experimental flash     ~6 ms   (per-(b,h) grid drowns)
+
+XLA's fused convert+max+exp+div epilogue keeps the softmax near the
+bandwidth floor here; the Pallas variants lose to per-step overheads and
+the lane-sliced per-head dots (D=64 is half a lane tile). The kernel is
+kept as a tested capability for regimes where it should win (longer T,
+where the [B,H,T,T] HBM materialization dominates).
+
+Grid layout (v2): grid=(B,), native [B, T, H*D] layout from the fused
+QKV projection (reshape is free), heads sliced as static lane offsets
+inside the kernel — round 1's grid=(B*heads,) with 4 extra full-tensor
+HBM transpose passes was strictly worse.
 
 Inference path only (no dropout inside; the training path keeps the XLA
 formulation which jax.grad differentiates).

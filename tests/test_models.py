@@ -187,3 +187,25 @@ def test_gradcam_tail_vjp():
     (grad,) = vjp(jax.nn.one_hot(jnp.array([3]), 10))
     assert grad.shape == fmap.shape
     assert np.isfinite(np.asarray(grad)).all()
+
+
+def test_bert_cls_only_final_matches_full_forward():
+    """The inference fast path (last layer computes only the CLS position)
+    must be numerically identical to slicing the full forward at [:, 0]."""
+    from multimodal_rare_disease_tpu.models.bert import BertEncoder
+
+    enc = BertEncoder(vocab_size=128, hidden_size=32, num_layers=3,
+                      num_heads=4, intermediate_size=64,
+                      max_position_embeddings=64, dropout=0.0)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, 128, (2, 16)), jnp.int32)
+    mask = jnp.asarray([[1] * 12 + [0] * 4, [1] * 16], jnp.int32)
+    params = enc.init(jax.random.key(0), ids, mask)["params"]
+
+    full = enc.apply({"params": params}, ids, mask)
+    fast = enc.apply({"params": params}, ids, mask, cls_only_final=True)
+    assert fast["last_hidden_state"].shape == (2, 1, 32)
+    np.testing.assert_allclose(np.asarray(fast["cls"]),
+                               np.asarray(full["cls"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fast["pooler_output"]),
+                               np.asarray(full["pooler_output"]), atol=1e-6)
