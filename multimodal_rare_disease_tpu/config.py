@@ -131,13 +131,15 @@ class DataConfig:
     eval_transform: str = "resize_crop"
     horizontal_flip_prob: float = 0.5
     rotation_degrees: float = 15.0
-    # Online (per-step, on-device) rotation. Off by default: the 3-shear
-    # static-shift formulation costs ~2 s/step at batch 16 on v5e
-    # (memory-bound accumulation), while the reference's deployed corpus
-    # bakes rotations in offline (scripts/generate_augmented_data.py →
-    # our cli.augment_data). Enable for online-rotation parity
-    # experiments; 'gather' geometry_mode also rotates (exactly, slowly).
-    online_rotation: bool = False
+    # Online (per-step, on-device) rotation via the 3-shear pad+slice
+    # formulation (ops/rotate.py): ON by default — reference parity, every
+    # reference train stack rotates ±15° online
+    # (src/train_multimodal.py:324, src/image_dataset_loader.py:87).
+    # Cost: one fused Σ_k w_k·slice pass per shear post-crop at
+    # image_size in bf16 (~a few ms per 256-batch on v5e; <10% of a
+    # train step). 'gather' geometry_mode rotates exactly instead
+    # (single-pass bilinear warp; slow TPU gathers).
+    online_rotation: bool = True
     brightness_factor: float = 0.2
     contrast_factor: float = 0.2
     saturation_factor: float = 0.2

@@ -95,6 +95,71 @@ def convert_torchvision_resnet50(sd: Mapping[str, Any]
 
 
 # ---------------------------------------------------------------------------
+# torchvision EfficientNet-B0 → EfficientNetB0Encoder
+# ---------------------------------------------------------------------------
+
+_B0_STAGES = ((1, 1), (6, 2), (6, 2), (6, 3), (6, 3), (6, 4), (6, 1))
+# (expand_ratio, num_repeats) per features.1..7 — torchvision
+# efficientnet_b0 (IMAGENET1K_V1), ref `src/cnn_encoder.py:88-100`
+
+
+def convert_torchvision_efficientnet_b0(sd: Mapping[str, Any]
+                                        ) -> Tuple[Params, Params]:
+    """torchvision efficientnet_b0 state_dict → (params, batch_stats) for
+    EfficientNetB0Encoder (classifier head ignored — replaced by Identity
+    in the reference, `src/cnn_encoder.py:97-100`).
+
+    torchvision layout: features.0 = stem ConvNormActivation;
+    features.s.b.block.* = MBConv sub-Sequential (expand / depthwise / SE
+    fc1+fc2 / project — the expand stage is absent when expand_ratio=1);
+    features.8 = 1280-wide head. Note torchvision's train-time
+    StochasticDepth has no parameters and is identity at eval, so eval
+    numerics convert exactly.
+    """
+    params: Params = {}
+    stats: Params = {}
+
+    def put_bn(dst_p: Params, dst_s: Params, name: str, src: str):
+        dst_p[name] = {"scale": _t(sd[f"{src}.weight"]),
+                       "bias": _t(sd[f"{src}.bias"])}
+        dst_s[name] = {"mean": _t(sd[f"{src}.running_mean"]),
+                       "var": _t(sd[f"{src}.running_var"])}
+
+    params["stem_conv"] = {"kernel": _conv(sd["features.0.0.weight"])}
+    put_bn(params, stats, "stem_bn", "features.0.1")
+
+    for s, (expand, repeats) in enumerate(_B0_STAGES, start=1):
+        for b in range(repeats):
+            src = f"features.{s}.{b}.block"
+            dst = f"stage{s}_block{b}"
+            bp: Params = {}
+            bs: Params = {}
+            i = 0
+            if expand != 1:
+                bp["expand_conv"] = {"kernel": _conv(sd[f"{src}.{i}.0.weight"])}
+                put_bn(bp, bs, "expand_bn", f"{src}.{i}.1")
+                i += 1
+            bp["dw_conv"] = {"kernel": _conv(sd[f"{src}.{i}.0.weight"])}
+            put_bn(bp, bs, "dw_bn", f"{src}.{i}.1")
+            i += 1
+            bp["se"] = {
+                "reduce": {"kernel": _conv(sd[f"{src}.{i}.fc1.weight"]),
+                           "bias": _t(sd[f"{src}.{i}.fc1.bias"])},
+                "expand": {"kernel": _conv(sd[f"{src}.{i}.fc2.weight"]),
+                           "bias": _t(sd[f"{src}.{i}.fc2.bias"])},
+            }
+            i += 1
+            bp["project_conv"] = {"kernel": _conv(sd[f"{src}.{i}.0.weight"])}
+            put_bn(bp, bs, "project_bn", f"{src}.{i}.1")
+            params[dst] = bp
+            stats[dst] = bs
+
+    params["head_conv"] = {"kernel": _conv(sd["features.8.0.weight"])}
+    put_bn(params, stats, "head_bn", "features.8.1")
+    return params, stats
+
+
+# ---------------------------------------------------------------------------
 # HF BERT → BertEncoder
 # ---------------------------------------------------------------------------
 

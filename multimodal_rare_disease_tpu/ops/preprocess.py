@@ -510,16 +510,24 @@ def train_preprocess(
         x = images_uint8.astype(jnp.float32)
         # horizontal flip: lane reverse selected per image
         x = jnp.where(flip[:, None, None, None] > 0, x[:, :, ::-1, :], x)
-        if d.rotation_degrees > 0 and d.online_rotation:
-            from multimodal_rare_disease_tpu.ops.rotate import rotate_batch
-
-            x = rotate_batch(x, angle, max_degrees=d.rotation_degrees)
         scale_y, shift_y = _crop_params(float(in_size), float(d.image_size),
                                         crop_scale, sy)
         scale_x, shift_x = _crop_params(float(in_size), float(d.image_size),
                                         crop_scale, sx)
         x = separable_resample(x, scale_y, shift_y, scale_x, shift_x,
                                d.image_size) / 255.0
+        if d.rotation_degrees > 0 and d.online_rotation:
+            # AFTER the crop, at image_size — the reference's own order
+            # (Resize → RandomCrop → flip → RandomRotation,
+            # src/train_multimodal.py:320-324), and ~40% cheaper than
+            # rotating the 256-staging frame. bf16 through the shears:
+            # halves the bandwidth; the ~0.4% relative rounding is the
+            # same order as uint8 quantization (train-aug only).
+            from multimodal_rare_disease_tpu.ops.rotate import rotate_batch
+
+            x = rotate_batch(x.astype(jnp.bfloat16), angle,
+                             max_degrees=d.rotation_degrees
+                             ).astype(jnp.float32)
 
     x = color_jitter(x, k_jit, d.brightness_factor, d.contrast_factor,
                      d.saturation_factor)

@@ -266,3 +266,122 @@ def test_converted_checkpoint_end_to_end_golden(tmp_path):
     for name, v in golden.items():
         # the BASELINE ±1e-3 probability contract
         assert abs(result["all_probabilities"][name] - v) < 1e-3, name
+
+
+# ---------------------------------------------------------------------------
+# torch EfficientNet-B0 with the torchvision state_dict schema
+# ---------------------------------------------------------------------------
+
+class _ConvBNAct(torch.nn.Sequential):
+    def __init__(self, cin, cout, k, stride, groups=1, act=True):
+        nn = torch.nn
+        layers = [nn.Conv2d(cin, cout, k, stride, padding=(k - 1) // 2,
+                            groups=groups, bias=False),
+                  nn.BatchNorm2d(cout, eps=1e-3)]
+        if act:
+            layers.append(nn.SiLU(inplace=True))
+        super().__init__(*layers)
+
+
+class _SE(torch.nn.Module):
+    def __init__(self, c, squeeze):
+        super().__init__()
+        nn = torch.nn
+        self.avgpool = nn.AdaptiveAvgPool2d(1)
+        self.fc1 = nn.Conv2d(c, squeeze, 1)
+        self.fc2 = nn.Conv2d(squeeze, c, 1)
+        self.activation = nn.SiLU()
+        self.scale_activation = nn.Sigmoid()
+
+    def forward(self, x):
+        s = self.avgpool(x)
+        s = self.activation(self.fc1(s))
+        return x * self.scale_activation(self.fc2(s))
+
+
+class _MBConv(torch.nn.Module):
+    def __init__(self, cin, cout, expand, k, stride):
+        super().__init__()
+        mid = cin * expand
+        layers = []
+        if expand != 1:
+            layers.append(_ConvBNAct(cin, mid, 1, 1))
+        layers.append(_ConvBNAct(mid, mid, k, stride, groups=mid))
+        layers.append(_SE(mid, max(1, cin // 4)))
+        layers.append(_ConvBNAct(mid, cout, 1, 1, act=False))
+        self.block = torch.nn.Sequential(*layers)
+        self.use_res = stride == 1 and cin == cout
+
+    def forward(self, x):
+        out = self.block(x)
+        return out + x if self.use_res else out
+
+
+class _TorchEffNetB0(torch.nn.Module):
+    """torchvision.models.efficientnet_b0-compatible keys and eval
+    semantics (StochasticDepth is identity at eval and parameter-free)."""
+
+    _CFG = ((1, 16, 1, 1, 3), (6, 24, 2, 2, 3), (6, 40, 2, 2, 5),
+            (6, 80, 3, 2, 3), (6, 112, 3, 1, 5), (6, 192, 4, 2, 5),
+            (6, 320, 1, 1, 3))
+
+    def __init__(self):
+        super().__init__()
+        nn = torch.nn
+        feats = [_ConvBNAct(3, 32, 3, 2)]
+        cin = 32
+        for expand, cout, repeats, stride, k in self._CFG:
+            blocks = []
+            for r in range(repeats):
+                blocks.append(_MBConv(cin, cout, expand, k,
+                                      stride if r == 0 else 1))
+                cin = cout
+            feats.append(nn.Sequential(*blocks))
+        feats.append(_ConvBNAct(320, 1280, 1, 1))
+        self.features = nn.Sequential(*feats)
+        self.avgpool = nn.AdaptiveAvgPool2d(1)
+
+    def forward(self, x):
+        return self.avgpool(self.features(x)).flatten(1)
+
+
+def test_efficientnet_b0_full_forward_parity():
+    from multimodal_rare_disease_tpu.models.convert import (
+        convert_torchvision_efficientnet_b0,
+    )
+    from multimodal_rare_disease_tpu.models.efficientnet import (
+        EfficientNetB0Encoder,
+    )
+
+    torch.manual_seed(0)
+    m = _TorchEffNetB0()
+    for mod in m.modules():
+        if isinstance(mod, torch.nn.BatchNorm2d):
+            with torch.no_grad():
+                mod.running_mean.normal_(0, 0.02)
+                mod.running_var.uniform_(0.8, 1.2)
+    m = m.eval()
+    sd = m.state_dict()
+    assert "features.1.0.block.0.0.weight" in sd   # stage1 dw conv
+    assert "features.2.0.block.2.fc1.weight" in sd  # SE fc1
+
+    params, stats = convert_torchvision_efficientnet_b0(sd)
+
+    enc = EfficientNetB0Encoder()
+    # structural coverage: converted tree == init tree shapes
+    x0 = jnp.zeros((1, 64, 64, 3))
+    ref_vars = enc.init(jax.random.key(0), x0)
+    ref_shapes = jax.tree_util.tree_map(lambda a: a.shape,
+                                        ref_vars["params"])
+    got_shapes = jax.tree_util.tree_map(lambda a: tuple(a.shape), params)
+    assert ref_shapes == got_shapes
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 64, 64, 3)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        ref = m(torch.tensor(x.transpose(0, 3, 1, 2))).numpy()
+    pooled, feats = enc.apply({"params": params, "batch_stats": stats},
+                              jnp.asarray(x), train=False)
+    ours = np.asarray(pooled)
+    assert ours.shape == ref.shape == (2, 1280)
+    np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=1e-3)
