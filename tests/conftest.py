@@ -32,3 +32,8 @@ def default_cfg():
     from multimodal_rare_disease_tpu.config import resolve_config
 
     return resolve_config()
+
+
+# Wall-clock note: this environment has ONE vCPU, so JAX CPU compiles
+# dominate the suite (~9 min for `-m "not slow"`, minutes more for the
+# slow tier). On a normal multi-core dev box the fast tier is ~1-2 min.

@@ -9,6 +9,8 @@ class-conditional generator behind the same API.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # 150-epoch VAE training: ~2 min on 1 vCPU
+
 from multimodal_rare_disease_tpu.data.generative import (
     ConvVAE,
     VAEImageGenerator,

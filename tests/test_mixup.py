@@ -9,6 +9,7 @@ from multimodal_rare_disease_tpu.train.pipeline import DataPipeline
 from tests.test_trainer import REF_IMAGES, small_cfg
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(not REF_IMAGES.is_dir(), reason="reference corpus absent")
 def test_trainer_with_mixup_runs():
     cfg = small_cfg(**{"data.mixup_alpha": 0.4})
