@@ -26,6 +26,10 @@ def small_cfg(**over):
         "data.image_size": 64,
         "data.max_text_length": 16,
         "data.augmentation_factor": 1,
+        # rotation has dedicated coverage (test_rotate/test_preprocess);
+        # compiling the 3-shear graph x8 virtual devices here would
+        # dominate the 1-vCPU wall-clock
+        "data.online_rotation": False,
         "text_encoder.num_layers": 2,
         "text_encoder.num_heads": 2,
         "text_encoder.hidden_size": 32,
