@@ -1,5 +1,14 @@
-"""Attention micro-benchmark with VARYING scan inputs (loop-invariant
-inputs get hoisted by XLA and measure nothing but readback RTT).
+"""SUPERSEDED — see bench_attention_v4.py.
+
+This harness fixed the loop-invariant-hoisting bug but still scanned
+only K=8 steps per readback: the ~30 ms axon-tunnel RTT floor (RTT/8 =
+~3.3 ms/step minimum for ANY op — a bare elementwise add "measures"
+3.27 ms, see bench_pallas_dma.py) drowned the real kernel differences.
+bench_attention_v4.py carry-chains N=64 iterations and subtracts an
+empty-loop control; its numbers are the valid ones.
+
+Original intent: attention micro-benchmark with VARYING scan inputs
+(loop-invariant inputs get hoisted by XLA and measure nothing).
 
 Run: PYTHONPATH=/root/repo python artifacts/bench_attention.py
 """

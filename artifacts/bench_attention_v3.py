@@ -1,4 +1,7 @@
-"""Attention kernel v3 candidates vs XLA, varying-input scan harness.
+"""SUPERSEDED — RTT-floor-limited like bench_attention.py; valid
+re-measurements live in bench_attention_v4.py.
+
+Attention kernel v3 candidates vs XLA, varying-input scan harness.
 
 Diagnosis so far (v5e, B=256 T=128 H=12 D=64, bf16):
   xla_f32      ~3.6 ms/layer-batch   (f32 softmax materialized in HBM)

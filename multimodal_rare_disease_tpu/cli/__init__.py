@@ -9,4 +9,8 @@ Parity with the reference's launcher surface (SURVEY.md L6):
   python -m multimodal_rare_disease_tpu.cli.augment_data  (scripts/generate_augmented_data.py)
   python -m multimodal_rare_disease_tpu.cli.reorganize    (scripts/reorganize_images.py)
   python -m multimodal_rare_disease_tpu.cli.generate_synthetic (src/synthetic_image_generator.py)
+  python -m multimodal_rare_disease_tpu.cli.convert_weights    (offline torch/HF conversion)
+  python -m multimodal_rare_disease_tpu.cli.explain            (notebooks/explainability.ipynb)
+  python -m multimodal_rare_disease_tpu.cli.serve              (HTTP serving daemon — beyond the
+                                                                reference, which has no serving surface)
 """

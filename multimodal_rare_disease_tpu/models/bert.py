@@ -25,6 +25,15 @@ from multimodal_rare_disease_tpu.config import TextEncoderConfig
 
 Dtype = Any
 
+# HF BertModel init semantics (`_init_weights`): every Linear/Embedding
+# weight ~ N(0, initializer_range=0.02), biases zero, LayerNorm 1/0.
+# This matters beyond cosmetics: with flax defaults (lecun_normal
+# kernels, Embed stddev 1.0) a from-scratch post-LN BERT stops training
+# at >=4 layers with the 3072-wide FFN (loss pinned at ln(num_classes));
+# the small-residual-branch N(0, 0.02) init restores HF's from-scratch
+# trainability.
+_HF_INIT = nn.initializers.normal(stddev=0.02)
+
 
 def _gelu_exact_erf(x: jnp.ndarray) -> jnp.ndarray:
     """Exact GELU via lax.erf: x/2 * (1 + erf(x/sqrt(2))).
@@ -70,6 +79,7 @@ class BertSelfAttention(nn.Module):
                                      quantized=q8,
                                      dtype=self.dtype,
                                      param_dtype=self.param_dtype,
+                                     kernel_init=_HF_INIT,
                                      name="qkv")(hidden)  # [B,T,3,h,d]
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         if cls_query_only:
@@ -101,7 +111,8 @@ class BertSelfAttention(nn.Module):
             ctx = jnp.einsum("bhts,bshd->bthd", probs_dropped, v)
         out = MaybeQuantDenseGeneral(
             H, axis=(-2, -1), quantized=q8, dtype=self.dtype,
-            param_dtype=self.param_dtype, name="output")(ctx)
+            param_dtype=self.param_dtype, kernel_init=_HF_INIT,
+            name="output")(ctx)
         if output_attentions:
             return out, probs
         return out, None
@@ -143,11 +154,13 @@ class BertLayer(nn.Module):
 
         inter = MaybeQuantDenseGeneral(
             self.intermediate_size, quantized=q8, dtype=self.dtype,
-            param_dtype=self.param_dtype, name="intermediate")(hidden)
+            param_dtype=self.param_dtype, kernel_init=_HF_INIT,
+            name="intermediate")(hidden)
         inter = _gelu_exact_erf(inter)
         out = MaybeQuantDenseGeneral(
             self.hidden_size, quantized=q8, dtype=self.dtype,
-            param_dtype=self.param_dtype, name="output")(inter)
+            param_dtype=self.param_dtype, kernel_init=_HF_INIT,
+            name="output")(inter)
         out = nn.Dropout(rate=self.dropout)(out, deterministic=not train)
         hidden = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype,
                               param_dtype=self.param_dtype,
@@ -196,13 +209,13 @@ class BertEncoder(nn.Module):
 
         word = nn.Embed(self.vocab_size, self.hidden_size,
                         param_dtype=self.param_dtype, dtype=self.dtype,
-                        name="word_embeddings")(input_ids)
+                        embedding_init=_HF_INIT, name="word_embeddings")(input_ids)
         pos = nn.Embed(self.max_position_embeddings, self.hidden_size,
                        param_dtype=self.param_dtype, dtype=self.dtype,
-                       name="position_embeddings")(positions)
+                       embedding_init=_HF_INIT, name="position_embeddings")(positions)
         seg = nn.Embed(self.type_vocab_size, self.hidden_size,
                        param_dtype=self.param_dtype, dtype=self.dtype,
-                       name="token_type_embeddings")(token_type_ids)
+                       embedding_init=_HF_INIT, name="token_type_embeddings")(token_type_ids)
         hidden = word + pos + seg
         hidden = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype,
                               param_dtype=self.param_dtype,
@@ -232,7 +245,8 @@ class BertEncoder(nn.Module):
 
         cls = hidden[:, 0, :]
         pooled = nn.Dense(self.hidden_size, dtype=self.dtype,
-                          param_dtype=self.param_dtype, name="pooler")(cls)
+                          param_dtype=self.param_dtype,
+                          kernel_init=_HF_INIT, name="pooler")(cls)
         pooled = jnp.tanh(pooled)
 
         out: Dict[str, Any] = {

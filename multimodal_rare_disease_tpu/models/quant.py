@@ -64,6 +64,7 @@ class MaybeQuantDenseGeneral(nn.Module):
     quantized: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    kernel_init: Any = nn.initializers.lecun_normal()
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -73,7 +74,7 @@ class MaybeQuantDenseGeneral(nn.Module):
         axis = tuple(a % x.ndim for a in axis)
         in_shape = tuple(x.shape[a] for a in axis)
 
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+        kernel = self.param("kernel", self.kernel_init,
                             in_shape + features, self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, features,
                           self.param_dtype)
