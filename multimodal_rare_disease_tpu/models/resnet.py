@@ -16,10 +16,48 @@ from __future__ import annotations
 
 from typing import Any, Dict, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 Dtype = Any
+
+
+class _StemConv(nn.Module):
+    """7×7/s2 stem conv with an inference-time space-to-depth fast path.
+
+    The canonical param stays [7, 7, 3, 64] (torchvision-conversion
+    compatible, `models/convert.py`). With only 3 input channels the MXU
+    contraction is ~2% utilized (measured 0.91 ms at B=256 on v5e, 17%
+    MFU); the s2d path packs 2×2 pixel blocks into 12 channels and runs
+    the numerically-identical 4×4/s1 conv (kernel zero-padded to 8×8 on
+    the leading edges → exact index match: out(i) reads s2d rows
+    i-2..i+1, padding (2,1)).
+    """
+
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, s2d: bool = False) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (7, 7, 3, 64),
+            self.param_dtype,
+        ).astype(self.dtype)
+        dn = ("NHWC", "HWIO", "NHWC")
+        B, H, W, C = x.shape
+        if not (s2d and H % 2 == 0 and W % 2 == 0):
+            return jax.lax.conv_general_dilated(
+                x, kernel, (2, 2), [(3, 3), (3, 3)], dimension_numbers=dn)
+        w = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))  # [8,8,3,64]
+        w = w.reshape(4, 2, 4, 2, 3, 64).transpose(0, 2, 1, 3, 4, 5) \
+            .reshape(4, 4, 4 * 3, 64)
+        x2 = x.reshape(B, H // 2, 2, W // 2, 2, C) \
+            .transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
+        return jax.lax.conv_general_dilated(
+            x2, w, (1, 1), [(2, 1), (2, 1)], dimension_numbers=dn)
 
 
 class BottleneckBlock(nn.Module):
@@ -86,16 +124,10 @@ class ResNet50Encoder(nn.Module):
         self, x: jnp.ndarray, train: bool = False
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         x = x.astype(self.dtype)
-        x = nn.Conv(
-            64,
-            (7, 7),
-            strides=(2, 2),
-            padding=[(3, 3), (3, 3)],
-            use_bias=False,
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-            name="stem_conv",
-        )(x)
+        # s2d only at inference: the train path keeps the canonical conv
+        # so gradients/optimizer state see the standard formulation
+        x = _StemConv(dtype=self.dtype, param_dtype=self.param_dtype,
+                      name="stem_conv")(x, s2d=not train)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,

@@ -209,3 +209,21 @@ def test_bert_cls_only_final_matches_full_forward():
                                np.asarray(full["cls"]), atol=1e-6)
     np.testing.assert_allclose(np.asarray(fast["pooler_output"]),
                                np.asarray(full["pooler_output"]), atol=1e-6)
+
+
+def test_stem_conv_s2d_equals_canonical():
+    """Inference space-to-depth stem must match the 7x7/s2 conv exactly."""
+    from multimodal_rare_disease_tpu.models.resnet import _StemConv
+
+    m = _StemConv()
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 64, 64, 3)),
+                    jnp.float32)
+    v = m.init(jax.random.key(0), x)
+    a = m.apply(v, x, s2d=False)
+    b = m.apply(v, x, s2d=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    # odd sizes fall back to the canonical path
+    xo = x[:, :63, :63, :]
+    np.testing.assert_allclose(np.asarray(m.apply(v, xo, s2d=True)),
+                               np.asarray(m.apply(v, xo, s2d=False)),
+                               atol=1e-6)
