@@ -46,40 +46,53 @@ def _dotc(a, w):
 
 def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, o_ref):
     """Blocks: x [1,S,S,CIN]; w1 [CIN,W]; w2 [9,W,W]; w3 [W,COUT];
-    out [1,S,S,COUT]. Identity residual (CIN==COUT)."""
-    x = x_ref[0]                                    # [S, S, CIN]
-    h = _dotc(x, w1_ref[...])
-    h = jnp.maximum(h + b1_ref[0], 0.0).astype(x.dtype)   # [S, S, W]
+    out [1,S,S,COUT]. Identity residual (CIN==COUT).
 
-    # 3x3 conv: 9 shifted matmuls; shifts = roll + wrapped-edge mask
-    yy = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
-    xx = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
-    acc = jnp.zeros((S, S, W), jnp.float32)
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            rolled = h
-            if dy:
-                rolled = jnp.roll(rolled, -dy, axis=0)
-            if dx:
-                rolled = jnp.roll(rolled, -dx, axis=1)
-            valid = jnp.ones((S, S), jnp.float32)
-            if dy == 1:
-                valid = valid * (yy < S - 1)
-            elif dy == -1:
-                valid = valid * (yy > 0)
-            if dx == 1:
-                valid = valid * (xx < S - 1)
-            elif dx == -1:
-                valid = valid * (xx > 0)
-            k = w2_ref[(dy + 1) * 3 + (dx + 1)]     # [W, W]
-            acc = acc + _dotc(rolled, k) * valid[:, :, None]
-    h = jnp.maximum(acc + b2_ref[0], 0.0).astype(x.dtype)
+    Strip-mined inside the kernel: rows are processed in 4 static bands
+    of 14 (+1-row halo read from the VMEM-resident input block), so the
+    live intermediates are band-sized — the whole-image variant hit an
+    opaque backend failure (suspected VMEM)."""
+    ROWS = 14
+    for j in range(S // ROWS):
+        r0 = j * ROWS
+        lo = max(r0 - 1, 0)
+        hi = min(r0 + ROWS + 1, S)
+        xs = x_ref[0, lo:hi]                         # [rows+halo, S, CIN]
+        h = _dotc(xs, w1_ref[...])
+        h = jnp.maximum(h + b1_ref[0], 0.0).astype(xs.dtype)
 
-    # keep the widest (COUT) tensor out of f32: cast the conv result
-    # immediately and do the residual add in bf16 (saves ~6 MB VMEM;
-    # bf16 residual matches the XLA path's output rounding class)
-    out = (_dotc(h, w3_ref[...]) + b3_ref[0]).astype(x.dtype) + x
-    o_ref[0] = jnp.maximum(out, jnp.zeros((), x.dtype)).astype(o_ref.dtype)
+        R = hi - lo
+        yy = jax.lax.broadcasted_iota(jnp.int32, (R, S), 0)
+        xx = jax.lax.broadcasted_iota(jnp.int32, (R, S), 1)
+        acc = jnp.zeros((R, S, W), jnp.float32)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                rolled = h
+                if dy:
+                    rolled = jnp.roll(rolled, -dy, axis=0)
+                if dx:
+                    rolled = jnp.roll(rolled, -dx, axis=1)
+                valid = jnp.ones((R, S), jnp.float32)
+                # vertical wrap masks apply only at true image edges;
+                # interior band edges read real halo rows
+                if dy == 1:
+                    valid = valid * jnp.where(lo + yy < S - 1, 1.0, 0.0)
+                elif dy == -1:
+                    valid = valid * jnp.where(lo + yy > 0, 1.0, 0.0)
+                if dx == 1:
+                    valid = valid * (xx < S - 1)
+                elif dx == -1:
+                    valid = valid * (xx > 0)
+                k = w2_ref[(dy + 1) * 3 + (dx + 1)]
+                acc = acc + _dotc(rolled, k) * valid[:, :, None]
+        h2 = jnp.maximum(acc + b2_ref[0], 0.0).astype(xs.dtype)
+        # trim the halo rows: keep the band's own ROWS rows
+        off = r0 - lo
+        h2 = h2[off:off + ROWS]
+        out = (_dotc(h2, w3_ref[...]) + b3_ref[0]).astype(xs.dtype)
+        out = out + x_ref[0, r0:r0 + ROWS]
+        o_ref[0, r0:r0 + ROWS] = jnp.maximum(
+            out, jnp.zeros((), out.dtype)).astype(o_ref.dtype)
 
 
 def fused_block(x, w1, b1, w2, b2, w3, b3):
