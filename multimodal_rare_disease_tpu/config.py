@@ -170,7 +170,8 @@ class DataConfig:
     prefetch_batches: int = 2
     # Train batches always drop the ragged tail (static shapes keep one
     # compiled step); steps_per_epoch = floor(draws / batch_size) to match.
-    drop_remainder_train: bool = True
+    # (No opt-out: a drop_remainder_train=False flag existed once but was
+    # silently ignored, so it was removed rather than left misleading.)
 
 
 @dataclass(frozen=True)

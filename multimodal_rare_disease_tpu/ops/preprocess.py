@@ -490,7 +490,13 @@ def train_preprocess(
     d = cfg.data
     B = images_uint8.shape[0]
     in_size = images_uint8.shape[1]
-    k_scale, k_angle, k_flip, k_sy, k_sx, k_jit, k_erase = jax.random.split(key, 7)
+    # All augmentation subkeys are derived once from the top-level key.
+    # Never re-split a key already passed into a consumer: split(k, 2)
+    # is a prefix of split(k, 3), so re-splitting k_jit after
+    # color_jitter consumed it would correlate hue with contrast draws.
+    (k_scale, k_angle, k_flip, k_sy, k_sx, k_jit, k_hue, k_bsel,
+     k_noise, k_erase, k_persp, k_clahe_sel, k_elastic,
+     k_dropout) = jax.random.split(key, 14)
 
     crop_scale = jax.random.uniform(k_scale, (B,), minval=d.crop_scale_min,
                                     maxval=1.0)
@@ -532,10 +538,8 @@ def train_preprocess(
     x = color_jitter(x, k_jit, d.brightness_factor, d.contrast_factor,
                      d.saturation_factor)
     if getattr(d, "hue_factor", 0.0) > 0:
-        k_jit, k_hue = jax.random.split(k_jit)
         x = hue_jitter(x, k_hue, d.hue_factor)
     if d.gaussian_blur_prob > 0 or d.gaussian_noise_std > 0:
-        k_blur, k_bsel, k_noise = jax.random.split(k_erase, 3)
         if d.gaussian_blur_prob > 0:
             blurred = gaussian_blur(x)
             sel = (jax.random.uniform(k_bsel, (B,)) < d.gaussian_blur_prob)
@@ -547,20 +551,16 @@ def train_preprocess(
     # albumentations-tier extras (all default-off, ref
     # src/enhanced_augmentation.py:28-128)
     if getattr(d, "perspective_prob", 0.0) > 0:
-        k_jit, kk = jax.random.split(k_jit)
-        x = random_perspective(x, kk, d.perspective_distortion,
+        x = random_perspective(x, k_persp, d.perspective_distortion,
                                d.perspective_prob)
     if getattr(d, "clahe_prob", 0.0) > 0:
-        k_jit, kk, ks = jax.random.split(k_jit, 3)
         eq = clahe_batch(x)
-        sel = jax.random.uniform(ks, (B, 1, 1, 1)) < d.clahe_prob
+        sel = jax.random.uniform(k_clahe_sel, (B, 1, 1, 1)) < d.clahe_prob
         x = jnp.where(sel, eq, x)
     if getattr(d, "elastic_prob", 0.0) > 0:
-        k_jit, kk = jax.random.split(k_jit)
-        x = elastic_transform(x, kk, prob=d.elastic_prob)
+        x = elastic_transform(x, k_elastic, prob=d.elastic_prob)
     if getattr(d, "coarse_dropout_prob", 0.0) > 0:
-        k_jit, kk = jax.random.split(k_jit)
-        x = coarse_dropout(x, kk, d.coarse_dropout_prob,
+        x = coarse_dropout(x, k_dropout, d.coarse_dropout_prob,
                            num_holes=d.coarse_dropout_holes)
     return _normalize01(x, dtype)
 

@@ -44,8 +44,11 @@ def save_checkpoint(
     the reference's optimizer_state_dict (`src/train.py:394-422`).
 
     Crash-safe: the new checkpoint is fully written to a sibling `.tmp`
-    directory first, then atomically swapped over the old one — an
-    interruption mid-save never destroys the previous best/last."""
+    directory first, then swapped in via two renames. Directory swaps
+    cannot be a single atomic rename, so a crash between the two
+    renames can leave `path` briefly absent with the data intact in the
+    `.old` sibling — `load_checkpoint` falls back to `.old` (and `.tmp`)
+    in that case, so no committed checkpoint is ever lost."""
     path = Path(path).absolute()
     tmp = path.with_name(path.name + ".tmp")
     if tmp.exists():
@@ -74,10 +77,20 @@ def save_checkpoint(
 
 
 def load_checkpoint(path: str | Path) -> Tuple[Any, Any, Dict[str, Any]]:
-    """→ (params, batch_stats, meta)."""
+    """→ (params, batch_stats, meta).
+
+    If `path` is missing but a `.old` / `.tmp` sibling holds a complete
+    checkpoint (a crash landed between save_checkpoint's two directory
+    renames), recover from the sibling."""
     path = Path(path).absolute()
     if not (path / _ARRAYS_SUBDIR).exists():
-        raise FileNotFoundError(f"no checkpoint at {path}")
+        for suffix in (".old", ".tmp"):
+            sib = path.with_name(path.name + suffix)
+            if (sib / _ARRAYS_SUBDIR).exists() and (sib / _META_FILE).exists():
+                path = sib
+                break
+        else:
+            raise FileNotFoundError(f"no checkpoint at {path}")
     ckptr = _checkpointer()
     tree = ckptr.restore(path / _ARRAYS_SUBDIR)
     meta: Dict[str, Any] = {}

@@ -31,12 +31,17 @@ def test_golden_multimodal_forward():
     out = model.apply(variables, images, ids, mask)
     probs = np.asarray(out["probs"])
 
-    # pinned from the first verified implementation (2026-08-16)
+    # pinned 2026-08-16; REPINNED 2026-08-17 after the intentional
+    # HF-style BERT init change (models/bert.py:29-35, commit dafede3)
+    # shifted model.init numerics. Rule: any commit that intentionally
+    # changes numerics must repin goldens in the same commit.
+    # atol widened to 2e-3: CPU XLA fusion differs slightly (~4e-4)
+    # between execution contexts; real numerics changes shift ~1e-2.
     golden_row0 = np.array(
-        [0.10361765, 0.05636425, 0.04153683, 0.10691006, 0.12991865,
-         0.09428056, 0.16161568, 0.12364437, 0.14166114, 0.04045079],
+        [0.10901581, 0.04983993, 0.04176393, 0.12084029, 0.11914441,
+         0.08468267, 0.17986728, 0.14346622, 0.09551004, 0.05586931],
         np.float32)
-    if not np.allclose(probs[0], golden_row0, atol=5e-4):
+    if not np.allclose(probs[0], golden_row0, atol=2e-3):
         raise AssertionError(
             f"golden drift:\n got {probs[0].tolist()}\n want "
             f"{golden_row0.tolist()}")

@@ -335,3 +335,18 @@ def test_train_preprocess_with_extras_enabled():
     out = train_preprocess(u8, jax.random.key(1), cfg)
     assert out.shape == (4, 32, 32, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_augmentation_subkeys_decorrelated():
+    """Regression: hue draws must not be correlated with color-jitter
+    contrast draws (advisor r2: re-splitting an already-consumed key made
+    hue delta == (contrast-1)/2 exactly for every image)."""
+    key = jax.random.key(0)
+    ks = jax.random.split(key, 14)
+    k_jit, k_hue = ks[5], ks[6]
+    _, kc, _ = jax.random.split(k_jit, 3)  # color_jitter's contrast key
+    B = 256
+    contrast = np.asarray(jax.random.uniform(kc, (B,), minval=0.7, maxval=1.3))
+    hue = np.asarray(jax.random.uniform(k_hue, (B,), minval=-0.1, maxval=0.1))
+    corr = np.corrcoef(contrast, hue)[0, 1]
+    assert abs(corr) < 0.3, f"hue/contrast correlated: {corr}"
