@@ -175,17 +175,27 @@ class DataPipeline:
             for _ in range(max(1, self.cfg.data.augmentation_factor))])
         return idx[:n_draw]
 
-    def _attach_text(self, batch: Dict[str, np.ndarray], labels: np.ndarray,
-                     train: bool) -> None:
+    def _text_indices(self, rows: np.ndarray, train: bool
+                      ) -> tuple[np.ndarray, np.ndarray]:
+        """(levels, variants) into the text pool for these corpus rows.
+
+        Base policy: random (level, variant) per train item — behavioral
+        parity with `ClinicalTextAugmenter` drawing a fresh template per
+        sample — and the full clinical description (0, 0) at val.
+        Subclasses (FGDD cycle-pairing) override this to pick texts as a
+        function of the corpus row instead.
+        """
+        n = len(rows)
+        if train:
+            return (self._text_rng.integers(0, NUM_TEXT_LEVELS, n),
+                    self._text_rng.integers(0, TEXT_POOL_VARIANTS, n))
+        return np.zeros(n, np.int64), np.zeros(n, np.int64)
+
+    def _attach_text(self, batch: Dict[str, np.ndarray], rows: np.ndarray,
+                     labels: np.ndarray, train: bool) -> None:
         if self.text_pool is None:
             return
-        n = len(labels)
-        if train:
-            levels = self._text_rng.integers(0, NUM_TEXT_LEVELS, n)
-            variants = self._text_rng.integers(0, TEXT_POOL_VARIANTS, n)
-        else:
-            levels = np.zeros(n, np.int64)   # full clinical description
-            variants = np.zeros(n, np.int64)
+        levels, variants = self._text_indices(rows, train)
         ids, mask = self.text_pool.gather(labels, levels, variants)
         batch["input_ids"] = ids
         batch["attention_mask"] = mask
@@ -218,10 +228,9 @@ class DataPipeline:
             rows = idx[s * B:(s + 1) * B].astype(np.int32)
             out = {"rows": rows}
             if self.text_pool is not None:
-                out["levels"] = self._text_rng.integers(
-                    0, NUM_TEXT_LEVELS, B).astype(np.int32)
-                out["variants"] = self._text_rng.integers(
-                    0, TEXT_POOL_VARIANTS, B).astype(np.int32)
+                levels, variants = self._text_indices(rows, train=True)
+                out["levels"] = levels.astype(np.int32)
+                out["variants"] = variants.astype(np.int32)
             yield out
 
     def val_index_batches(self, batch_size: Optional[int] = None
@@ -235,7 +244,12 @@ class DataPipeline:
             if pad:
                 rows = np.concatenate([rows, np.zeros(pad, np.int32)])
                 valid = np.concatenate([valid, np.zeros(pad, np.float32)])
-            yield {"rows": rows, "valid": valid}
+            out = {"rows": rows, "valid": valid}
+            if self.text_pool is not None:
+                levels, variants = self._text_indices(rows, train=False)
+                out["levels"] = levels.astype(np.int32)
+                out["variants"] = variants.astype(np.int32)
+            yield out
 
     # -- batch iterators ---------------------------------------------------
 
@@ -250,7 +264,7 @@ class DataPipeline:
                                             "valid": np.ones(B, np.float32)}
             if self.mode != "text_only":
                 batch["images"] = self.train_images[rows]
-            self._attach_text(batch, labels, train=True)
+            self._attach_text(batch, rows, labels, train=True)
             yield batch
 
     def val_batches(self, batch_size: Optional[int] = None
@@ -269,5 +283,5 @@ class DataPipeline:
             batch: Dict[str, np.ndarray] = {"labels": labels, "valid": valid}
             if self.mode != "text_only":
                 batch["images"] = self.val_images[rows]
-            self._attach_text(batch, labels, train=False)
+            self._attach_text(batch, rows, labels, train=False)
             yield batch

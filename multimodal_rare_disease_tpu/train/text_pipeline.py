@@ -12,15 +12,16 @@ texts onto corpus images — a documented non-semantic pairing,
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Dict, Iterator, Optional, Sequence
 
 import numpy as np
 
-from multimodal_rare_disease_tpu.config import Config
+from multimodal_rare_disease_tpu.config import SYNDROME_NAMES, Config
 from multimodal_rare_disease_tpu.data.tokenizer import (
     BertWordPieceTokenizer,
     build_wordpiece_vocab,
 )
+from multimodal_rare_disease_tpu.train.pipeline import DataPipeline, TextPool
 from multimodal_rare_disease_tpu.utils.rng import RngStreams
 
 
@@ -142,29 +143,55 @@ def fgdd_text_pipeline(cfg: Config, fgdd_dir: Optional[str] = None,
                             class_names=data["disease_names"])
 
 
+class FgddPairedPipeline(DataPipeline):
+    """Image DataPipeline with the FGDD per-sample text channel.
+
+    The FGDD→multimodal cycle-pairing (ref `src/train.py:797-811`):
+    labels come from the images; texts cycle through the FGDD corpus by
+    original scan position (i mod n_texts) — a documented non-semantic
+    pairing (the FGDD diseases and the 10 image syndromes do not
+    overlap). The text pool is [C, 1, n_texts, T] with the class axis
+    broadcast (text choice is independent of the image label), and the
+    `_text_indices` hook makes the trainer's on-device
+    pool[labels, levels, variants] gather pick variants = pos mod N.
+    """
+
+    def __init__(self, cfg: Config, texts: Sequence[str],
+                 image_dir: str, samples):
+        tok = BertWordPieceTokenizer(build_wordpiece_vocab(list(texts), 8192))
+        orig_pos = {s.path: i for i, s in enumerate(samples)}
+        super().__init__(cfg, mode="multimodal", image_dir=image_dir,
+                         tokenizer=tok, samples=samples)
+
+        T = cfg.data.max_text_length
+        ids, mask, _ = tok.encode_batch(list(texts), T)
+        self.fgdd_n_texts = n = len(texts)
+        C = len(SYNDROME_NAMES)
+        self.text_pool = TextPool(
+            np.broadcast_to(ids[None, None].astype(np.int32),
+                            (C, 1, n, T)).copy(),
+            np.broadcast_to(mask[None, None].astype(np.int32),
+                            (C, 1, n, T)).copy())
+        self._train_tidx = np.asarray(
+            [orig_pos[s.path] % n for s in self.train_samples], np.int32)
+        self._val_tidx = np.asarray(
+            [orig_pos[s.path] % n for s in self.val_samples], np.int32)
+
+    def _text_indices(self, rows, train):
+        tidx = self._train_tidx if train else self._val_tidx
+        # val rows may be 0-padded; 0 is always in range
+        return (np.zeros(len(rows), np.int64),
+                tidx[np.asarray(rows, np.int64)])
+
+
 def fgdd_multimodal_pipeline(cfg: Config, fgdd_dir: Optional[str] = None,
                              image_dir: Optional[str] = None,
-                             top_k_diseases: int = 10):
-    """FGDD→multimodal cycle-pairing (ref `src/train.py:797-811`).
-
-    The reference pairs each corpus image (global position i) with FGDD
-    text (i mod n_texts) and takes labels FROM THE IMAGES — a documented
-    non-semantic pairing (the FGDD diseases and the 10 image syndromes do
-    not overlap). Reproduced behaviorally on top of the image
-    `DataPipeline`: the class-level clinical text pool is replaced with a
-    per-sample FGDD text pool, gathered on device through the trainer's
-    pool[labels, levels, variants] indexing with variants = pos mod N.
-    """
-    from multimodal_rare_disease_tpu.config import (
-        SYNDROME_NAMES,
-        find_image_dir,
-    )
+                             top_k_diseases: int = 10) -> FgddPairedPipeline:
+    """Build the FGDD→multimodal cycle-pairing pipeline (see
+    `FgddPairedPipeline`)."""
+    from multimodal_rare_disease_tpu.config import find_image_dir
     from multimodal_rare_disease_tpu.data.images import scan_image_corpus
     from multimodal_rare_disease_tpu.data.parsers import load_fgdd
-    from multimodal_rare_disease_tpu.train.pipeline import (
-        DataPipeline,
-        TextPool,
-    )
 
     data = load_fgdd(cfg, fgdd_dir=fgdd_dir, top_k_diseases=top_k_diseases)
     if data is None:
@@ -174,92 +201,4 @@ def fgdd_multimodal_pipeline(cfg: Config, fgdd_dir: Optional[str] = None,
     if d is None:
         raise FileNotFoundError("no image directory found in data roots")
     samples = list(scan_image_corpus(d))
-    orig_pos = {s.path: i for i, s in enumerate(samples)}
-
-    texts: List[str] = list(data["texts"])
-    tok = BertWordPieceTokenizer(build_wordpiece_vocab(texts, 8192))
-
-    pipe = DataPipeline(cfg, mode="multimodal", image_dir=d,
-                        tokenizer=tok, samples=samples)
-
-    T = cfg.data.max_text_length
-    ids, mask, _ = tok.encode_batch(texts, T)
-    n_texts = len(texts)
-    C = len(SYNDROME_NAMES)
-    # per-sample pool shaped for the trainer's on-device
-    # pool[labels, levels, variants] gather: class axis broadcast (text
-    # choice is independent of the image label in this pairing)
-    pool_ids = np.broadcast_to(
-        ids[None, None].astype(np.int32), (C, 1, n_texts, T)).copy()
-    pool_mask = np.broadcast_to(
-        mask[None, None].astype(np.int32), (C, 1, n_texts, T)).copy()
-    pipe.text_pool = TextPool(pool_ids, pool_mask)
-
-    train_tidx = np.asarray([orig_pos[s.path] % n_texts
-                             for s in pipe.train_samples], np.int32)
-    val_tidx = np.asarray([orig_pos[s.path] % n_texts
-                           for s in pipe.val_samples], np.int32)
-
-    def train_index_batches():
-        B = cfg.training.batch_size
-        idx = pipe._indices_for_epoch()
-        for s in range(len(idx) // B):
-            rows = idx[s * B:(s + 1) * B].astype(np.int32)
-            yield {"rows": rows,
-                   "levels": np.zeros(B, np.int32),
-                   "variants": train_tidx[rows]}
-
-    def val_index_batches(batch_size: Optional[int] = None):
-        B = batch_size or cfg.evaluation.eval_batch_size
-        n = len(pipe.val_samples)
-        for s in range(0, n, B):
-            rows = np.arange(s, min(s + B, n), dtype=np.int32)
-            pad = B - len(rows)
-            valid = np.ones(len(rows), np.float32)
-            if pad:
-                rows = np.concatenate([rows, np.zeros(pad, np.int32)])
-                valid = np.concatenate([valid, np.zeros(pad, np.float32)])
-            yield {"rows": rows, "valid": valid,
-                   "levels": np.zeros(B, np.int32),
-                   "variants": val_tidx[rows]}
-
-    def _attach_paired_text(batch, rows):
-        batch["input_ids"] = ids[train_tidx[rows]].astype(np.int32)
-        batch["attention_mask"] = mask[train_tidx[rows]].astype(np.int32)
-
-    def train_batches():
-        B = cfg.training.batch_size
-        idx = pipe._indices_for_epoch()
-        for s in range(len(idx) // B):
-            rows = idx[s * B:(s + 1) * B]
-            labels = pipe.train_labels[rows]
-            batch = {"labels": labels, "valid": np.ones(B, np.float32),
-                     "images": pipe.train_images[rows]}
-            _attach_paired_text(batch, rows)
-            yield batch
-
-    def val_batches(batch_size: Optional[int] = None):
-        B = batch_size or cfg.evaluation.eval_batch_size
-        n = len(pipe.val_samples)
-        for s in range(0, n, B):
-            rows = np.arange(s, min(s + B, n))
-            pad = B - len(rows)
-            labels = pipe.val_labels[rows]
-            valid = np.ones(len(rows), np.float32)
-            if pad:
-                rows = np.concatenate([rows, np.zeros(pad, np.int64)])
-                labels = np.concatenate([labels, np.zeros(pad, np.int32)])
-                valid = np.concatenate([valid, np.zeros(pad, np.float32)])
-            batch = {"labels": labels, "valid": valid,
-                     "images": pipe.val_images[rows]}
-            tix = val_tidx[np.minimum(rows, n - 1)]  # pad rows reuse row 0
-            batch["input_ids"] = ids[tix].astype(np.int32)
-            batch["attention_mask"] = mask[tix].astype(np.int32)
-            yield batch
-
-    pipe.train_index_batches = train_index_batches
-    pipe.val_index_batches = val_index_batches
-    pipe.train_batches = train_batches
-    pipe.val_batches = val_batches
-    pipe.fgdd_n_texts = n_texts
-    return pipe
+    return FgddPairedPipeline(cfg, list(data["texts"]), d, samples)

@@ -19,6 +19,22 @@ jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
+# Test tiers (pyproject markers):
+#   pytest -m smoke        every-commit gate, <30s: compile-light modules
+#   pytest -m "not slow"   pre-snapshot gate, ~9-15 min on this 1-vCPU box
+#   pytest                 full suite incl. one-epoch trainings
+#   pytest -m tpu          compiled-Pallas numerics; needs the real chip
+_SMOKE_MODULES = {
+    "test_config.py", "test_parsers.py", "test_tokenizer.py",
+    "test_checkpoint.py", "test_stats.py", "test_images.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.path is not None and item.path.name in _SMOKE_MODULES:
+            item.add_marker(pytest.mark.smoke)
+
 
 @pytest.fixture(scope="session")
 def mesh8():
