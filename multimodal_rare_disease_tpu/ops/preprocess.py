@@ -416,13 +416,70 @@ def random_perspective(images: jnp.ndarray, key: jax.Array,
     return jnp.where(apply, warped, images.astype(jnp.float32))
 
 
+def _clahe_interp_weights(size: int, grid: int) -> np.ndarray:
+    """[size, grid] bilinear weights of each tile's CDF for each pixel
+    coordinate (≤2 nonzeros per row; border pixels clamp to the edge
+    tile, matching OpenCV/albumentations border handling)."""
+    tile = size / grid
+    pos = (np.arange(size) + 0.5) / tile - 0.5   # tile-center coords
+    pos = np.clip(pos, 0.0, grid - 1.0)
+    lo = np.floor(pos).astype(np.int64)
+    hi = np.minimum(lo + 1, grid - 1)
+    w_hi = pos - lo
+    weights = np.zeros((size, grid), np.float32)
+    weights[np.arange(size), lo] += 1.0 - w_hi
+    weights[np.arange(size), hi] += w_hi
+    return weights
+
+
+def clahe_batch_tiled(images: jnp.ndarray, clip_limit: float = 4.0,
+                      num_bins: int = 64, grid: int = 8) -> jnp.ndarray:
+    """True CLAHE: 8×8-tiled adaptive histogram equalization with
+    bilinear interpolation between tile mappings, on the luminance
+    channel of [B,H,W,3] in [0,1] (albumentations CLAHE semantics, ref
+    `src/enhanced_augmentation.py:85-92`).
+
+    TPU-shaped and gather-free: per-tile histograms come from a one-hot
+    reduction, and the per-pixel CDF is a bilinear blend of the 4
+    surrounding tile CDFs expressed as two small static matmuls
+    ([H,G]·[G,bins] then [W,G]·[G,bins]) — no dynamic indexing anywhere.
+    Requires H and W divisible by `grid` (224/8 = 28 in the default
+    pipeline); callers fall back to `clahe_batch` otherwise.
+    """
+    x = images.astype(jnp.float32)
+    lum = 0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2]
+    B, H, W = lum.shape
+    G = grid
+    th, tw = H // G, W // G
+    n_tile = th * tw
+
+    idx = jnp.clip((lum * num_bins).astype(jnp.int32), 0, num_bins - 1)
+    onehot = jax.nn.one_hot(idx, num_bins, dtype=jnp.float32)  # [B,H,W,K]
+    tiles = onehot.reshape(B, G, th, G, tw, num_bins)
+    hist = jnp.sum(tiles, axis=(2, 4))                         # [B,G,G,K]
+
+    limit = clip_limit * n_tile / num_bins
+    clipped = jnp.minimum(hist, limit)
+    excess = jnp.sum(hist - clipped, axis=-1, keepdims=True) / num_bins
+    hist = clipped + excess
+    cdf = jnp.cumsum(hist, axis=-1) / n_tile                   # [B,G,G,K]
+
+    wy = jnp.asarray(_clahe_interp_weights(H, G))              # [H,G]
+    wx = jnp.asarray(_clahe_interp_weights(W, G))              # [W,G]
+    cdf_y = jnp.einsum("yr,brck->byck", wy, cdf)               # [B,H,G,K]
+    cdf_pix = jnp.einsum("xc,byck->byxk", wx, cdf_y)           # [B,H,W,K]
+    mapped = jnp.sum(onehot * cdf_pix, axis=-1)                # [B,H,W]
+
+    ratio = mapped / jnp.maximum(lum, 1e-6)
+    return jnp.clip(x * ratio[..., None], 0.0, 1.0)
+
+
 def clahe_batch(images: jnp.ndarray, clip_limit: float = 4.0,
                 num_bins: int = 64) -> jnp.ndarray:
     """Contrast-limited GLOBAL histogram equalization on the luminance
-    channel of [B,H,W,3] in [0,1] (device-side analogue of albumentations
-    CLAHE, ref `src/enhanced_augmentation.py:85-92`; global rather than
-    8×8-tiled — one CDF per image keeps it reduction-shaped for the VPU,
-    no per-tile gathers).
+    channel of [B,H,W,3] in [0,1] — the cheap fallback for sizes not
+    divisible by the CLAHE tile grid (one CDF per image; see
+    `clahe_batch_tiled` for the real 8×8 CLAHE).
 
     The clip limit is expressed as a multiple of the uniform bin count
     (albumentations semantics); excess mass is redistributed uniformly.
@@ -554,7 +611,10 @@ def train_preprocess(
         x = random_perspective(x, k_persp, d.perspective_distortion,
                                d.perspective_prob)
     if getattr(d, "clahe_prob", 0.0) > 0:
-        eq = clahe_batch(x)
+        if x.shape[1] % 8 == 0 and x.shape[2] % 8 == 0:
+            eq = clahe_batch_tiled(x)
+        else:
+            eq = clahe_batch(x)
         sel = jax.random.uniform(k_clahe_sel, (B, 1, 1, 1)) < d.clahe_prob
         x = jnp.where(sel, eq, x)
     if getattr(d, "elastic_prob", 0.0) > 0:

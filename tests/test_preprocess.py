@@ -306,6 +306,84 @@ def test_clahe_increases_contrast_of_flat_image():
     assert out.std() > x.std() * 1.2  # contrast stretched
 
 
+def _numpy_tiled_clahe(x: np.ndarray, clip_limit: float = 4.0,
+                       num_bins: int = 64, grid: int = 8) -> np.ndarray:
+    """Straightforward per-pixel reference for 8×8-tiled CLAHE (OpenCV
+    border convention: edge pixels clamp to the edge tile). Independent
+    of the matmul formulation in `clahe_batch_tiled` — loops over pixels
+    and bilinearly blends the 4 surrounding tile CDFs."""
+    B, H, W, _ = x.shape
+    th, tw = H // grid, W // grid
+    n_tile = th * tw
+    out = np.empty_like(x)
+    for b in range(B):
+        lum = (0.299 * x[b, ..., 0] + 0.587 * x[b, ..., 1]
+               + 0.114 * x[b, ..., 2])
+        idx = np.clip((lum * num_bins).astype(np.int64), 0, num_bins - 1)
+        cdfs = np.zeros((grid, grid, num_bins))
+        for r in range(grid):
+            for c in range(grid):
+                tile = idx[r * th:(r + 1) * th, c * tw:(c + 1) * tw]
+                hist = np.bincount(tile.ravel(), minlength=num_bins
+                                   ).astype(np.float64)
+                limit = clip_limit * n_tile / num_bins
+                clipped = np.minimum(hist, limit)
+                hist = clipped + (hist - clipped).sum() / num_bins
+                cdfs[r, c] = np.cumsum(hist) / n_tile
+        mapped = np.empty_like(lum)
+        for i in range(H):
+            py = np.clip((i + 0.5) / th - 0.5, 0.0, grid - 1.0)
+            r0 = int(np.floor(py)); r1 = min(r0 + 1, grid - 1)
+            wy = py - r0
+            for j in range(W):
+                px = np.clip((j + 0.5) / tw - 0.5, 0.0, grid - 1.0)
+                c0 = int(np.floor(px)); c1 = min(c0 + 1, grid - 1)
+                wx = px - c0
+                k = idx[i, j]
+                mapped[i, j] = ((1 - wy) * (1 - wx) * cdfs[r0, c0, k]
+                                + (1 - wy) * wx * cdfs[r0, c1, k]
+                                + wy * (1 - wx) * cdfs[r1, c0, k]
+                                + wy * wx * cdfs[r1, c1, k])
+        ratio = mapped / np.maximum(lum, 1e-6)
+        out[b] = np.clip(x[b] * ratio[..., None], 0.0, 1.0)
+    return out
+
+
+def test_tiled_clahe_parity_with_numpy_reference():
+    from multimodal_rare_disease_tpu.ops.preprocess import clahe_batch_tiled
+
+    rng = np.random.default_rng(7)
+    # structured image: gradient + noise so tiles get distinct histograms
+    g = np.linspace(0.1, 0.9, 48)[None, :, None, None]
+    x = np.clip(g + 0.15 * rng.standard_normal((2, 48, 48, 3)), 0, 1
+                ).astype(np.float32)
+    got = np.asarray(clahe_batch_tiled(jnp.asarray(x), grid=8))
+    want = _numpy_tiled_clahe(x.astype(np.float64), grid=8)
+    np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_tiled_clahe_adapts_locally_where_global_cannot():
+    from multimodal_rare_disease_tpu.ops.preprocess import (
+        clahe_batch, clahe_batch_tiled)
+
+    rng = np.random.default_rng(3)
+    # left half dark low-contrast, right half bright low-contrast:
+    # tiled CLAHE stretches each half locally; global equalization
+    # mostly separates the halves instead.
+    x = np.empty((1, 64, 64, 3), np.float32)
+    x[:, :, :32] = 0.2 + 0.03 * rng.standard_normal((1, 64, 32, 3))
+    x[:, :, 32:] = 0.8 + 0.03 * rng.standard_normal((1, 64, 32, 3))
+    x = np.clip(x, 0, 1)
+    tiled = np.asarray(clahe_batch_tiled(jnp.asarray(x), clip_limit=10.0))
+    glob = np.asarray(clahe_batch(jnp.asarray(x), clip_limit=10.0))
+    # local contrast (std within each half) must improve more under tiled
+    def half_std(a):
+        return a[:, :, :32].std() + a[:, :, 32:].std()
+    assert half_std(tiled) > half_std(glob) * 1.1
+    assert half_std(tiled) > half_std(x) * 2.0
+    assert np.isfinite(tiled).all()
+
+
 def test_elastic_transform_shapes_and_identity_amplitude():
     from multimodal_rare_disease_tpu.ops.preprocess import elastic_transform
 
