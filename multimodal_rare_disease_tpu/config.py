@@ -166,6 +166,14 @@ class DataConfig:
 
     use_weighted_sampling: bool = True
 
+    # Face detection at corpus load (ref `src/image_dataset_loader.py:27-77`
+    # — optional MTCNN with graceful fallback). detector: 'auto' uses the
+    # converted-MTCNN weights at mtcnn_weights when present, else the
+    # weights-free heuristic blob detector (models/mtcnn.py).
+    use_face_detection: bool = False
+    face_detector: str = "auto"  # 'auto' | 'heuristic' | 'mtcnn'
+    mtcnn_weights: str = ""      # npz of convert_mtcnn output
+
     # Host pipeline
     prefetch_batches: int = 2
     # Train batches always drop the ragged tail (static shapes keep one

@@ -236,6 +236,23 @@ def set_face_detector(detector) -> None:
     _FACE_DETECTOR = detector
 
 
+def configure_face_detection(cfg) -> None:
+    """Install (or clear) the face-detection hook from config
+    (`data.use_face_detection` / `data.face_detector` /
+    `data.mtcnn_weights`). Called by the data pipeline at corpus load —
+    parity with the reference's `use_face_detection` dataset flag
+    (`src/image_dataset_loader.py:183-211`)."""
+    d = cfg.data if hasattr(cfg, "data") else cfg
+    if not getattr(d, "use_face_detection", False):
+        set_face_detector(None)
+        return
+    from multimodal_rare_disease_tpu.models.mtcnn import build_face_detector
+
+    set_face_detector(build_face_detector(
+        getattr(d, "face_detector", "auto"),
+        getattr(d, "mtcnn_weights", "")))
+
+
 def _face_crop(arr: np.ndarray) -> np.ndarray:
     """Apply the registered detector with a margin, like the reference's
     FaceDetector.detect_and_crop (20% margin, fallback = full frame)."""

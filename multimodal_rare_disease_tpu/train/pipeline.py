@@ -37,6 +37,7 @@ from multimodal_rare_disease_tpu.data.images import (
     ImageSample,
     WeightedSampler,
     class_weights,
+    configure_face_detection,
     leakage_aware_split,
     load_corpus_arrays,
     sample_weights,
@@ -123,6 +124,7 @@ class DataPipeline:
             self.train_samples, self.val_samples = stratified_split(
                 samples, cfg.data.val_ratio, rng=split_rng)
 
+        configure_face_detection(cfg)
         self.train_images, self.train_labels = load_corpus_arrays(
             self.train_samples, STAGING_SIZE)
         self.val_images, self.val_labels = load_corpus_arrays(
