@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import logging
 import time
+from collections import deque
 from functools import partial
 from typing import Any, Dict, Iterator, Optional
 
@@ -358,6 +359,34 @@ class Trainer:
         sh = batch_sharding(self.mesh)
         return {k: jax.device_put(v, sh) for k, v in batch.items()}
 
+    def _prefetched(self, batches: Iterator) -> Iterator:
+        """Double-buffered host→device transfer for the streaming path.
+
+        Keeps `data.prefetch_batches` batches device-resident ahead of
+        consumption: `jax.device_put` is asynchronous, so the H2D copy
+        of batch N+1..N+depth overlaps the (dispatched) compute of batch
+        N instead of serializing transfer → step → transfer the way the
+        reference's per-batch `.to(device)` does
+        (`src/train_multimodal.py:509-512`). The HBM-resident index-batch
+        mode bypasses this entirely; this is the fallback for corpora
+        above `training.device_corpus_budget_gb`.
+        """
+        depth = max(1, int(self.cfg.data.prefetch_batches))
+        it = iter(batches)
+        buf: deque = deque()
+        try:
+            while len(buf) < depth:
+                buf.append(self._place(next(it)))
+        except StopIteration:
+            pass
+        while buf:
+            out = buf.popleft()
+            try:
+                buf.append(self._place(next(it)))
+            except StopIteration:
+                pass
+            yield out
+
     # -- epoch loops -------------------------------------------------------
 
     def _train_epoch(self, epoch: int, schedule) -> Dict[str, float]:
@@ -384,11 +413,11 @@ class Trainer:
             return {"loss": float(np.mean(losses)),
                     "acc": float(np.mean(accs)), "lr": lr}
         else:
-            for batch in self.pipeline.train_batches():
+            for batch in self._prefetched(self.pipeline.train_batches()):
                 lr = schedule(step)
                 key = self.rngs.device_step("train", step)
                 self.state, metrics = self._train_step(
-                    self.state, self._place(batch),
+                    self.state, batch,
                     jnp.asarray(lr, jnp.float32), key)
                 losses.append(metrics["loss"])
                 accs.append(metrics["acc"])
@@ -420,8 +449,8 @@ class Trainer:
                 else self.pipeline.val_batches()
             results = [
                 self._eval_step(self.state.params, self.state.batch_stats,
-                                self._place(batch))
-                for batch in it
+                                batch)
+                for batch in self._prefetched(it)
             ]
         for m in results:
             m = jax.device_get(m)

@@ -3,19 +3,26 @@ multi-device sharding paths are exercised without TPU hardware."""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# MRD_TPU_TESTS=1 keeps the real-TPU platform so the `-m tpu` tier can
+# assert compiled-Pallas numerics on the bench chip; everything else
+# runs on the virtual 8-device CPU mesh.
+_TPU_TIER = os.environ.get("MRD_TPU_TESTS") == "1"
+
+if not _TPU_TIER:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    xla_flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in xla_flags:
+        os.environ["XLA_FLAGS"] = (
+            xla_flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
 # The image pre-configures jax_platforms='axon,cpu' (TPU-tunnel first);
 # the env var alone doesn't override it, so force CPU here before any
 # backend is initialized.
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_TIER:
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

@@ -171,3 +171,36 @@ def test_trainer_loss_decreases_and_reload(tmp_path):
     val2 = t2._validate()
     assert np.isfinite(val2["loss"])
     assert val2["acc"] >= 0.0
+
+
+@pytest.mark.skipif(not REF_IMAGES.is_dir(), reason="reference corpus absent")
+def test_streaming_fallback_with_prefetch(tmp_path):
+    """Corpora above training.device_corpus_budget_gb fall back to the
+    streaming host pipeline with double-buffered device_put prefetch
+    (VERDICT r2 #5). Forcing a tiny budget exercises that path end to
+    end on the 8-device mesh; metrics must match the index-batch mode's
+    contract (finite loss, checkpoints written)."""
+    cfg = small_cfg(**{"training.device_corpus_budget_gb": 1e-9})
+    pipeline = DataPipeline(cfg, mode="image_only", image_dir=str(REF_IMAGES))
+    trainer = Trainer(cfg, mode="image_only", pipeline=pipeline,
+                      workdir=str(tmp_path))
+    trainer.init_state()
+    assert trainer._use_index_mode is False  # budget forced streaming
+    result = trainer.train(num_epochs=1)
+    assert np.isfinite(result["history"]["train_loss"][0])
+    assert np.isfinite(result["history"]["val_loss"][0])
+    assert (tmp_path / "image_only_best" / "arrays").exists()
+
+
+def test_prefetched_yields_all_batches_in_order():
+    cfg = small_cfg()
+    trainer = Trainer.__new__(Trainer)  # no model build needed
+    trainer.cfg = cfg
+    from multimodal_rare_disease_tpu.parallel.mesh import create_mesh
+    trainer.mesh = create_mesh()
+    batches = [{"labels": np.full((8,), i, np.int32)} for i in range(5)]
+    out = list(trainer._prefetched(iter(batches)))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        assert int(np.asarray(b["labels"])[0]) == i
+    assert list(trainer._prefetched(iter([]))) == []
