@@ -229,6 +229,12 @@ class TextEncoderConfig:
     # the int8 MXU path efficiently here); numerics verified, kept as an
     # option for stacks where it wins. Training always runs bf16/f32.
     quantized_inference: bool = False
+    # Pre-LN transformer blocks (GPT-2/ViT placement) + final LN.
+    # OFF by default — post-LN is HF-BERT conversion parity. Turn on for
+    # from-scratch training at full size: the 12x3072 post-LN stack is
+    # pinned at the uniform-logits attractor on tiny corpora
+    # (docs/TRAINING.md scale cliff) while pre-LN descends.
+    pre_layernorm: bool = False
 
 
 @dataclass(frozen=True)

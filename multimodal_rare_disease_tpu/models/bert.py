@@ -125,6 +125,7 @@ class BertLayer(nn.Module):
     dropout: float
     fused_attention: bool = True
     quantized: bool = False
+    pre_ln: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -136,35 +137,53 @@ class BertLayer(nn.Module):
             MaybeQuantDenseGeneral,
         )
 
+        # pre_ln=True applies the same two LayerNorms BEFORE their
+        # sublayers (GPT-2/ViT placement) instead of after the residual
+        # (HF BERT). Post-LN is the conversion-parity default; pre-LN is
+        # the from-scratch trainability option: at 12x3072 on tiny
+        # corpora the post-LN stack sits at the uniform-logits attractor
+        # (docs/TRAINING.md scale cliff) while pre-LN descends.
+        ln_att = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype,
+                              param_dtype=self.param_dtype,
+                              name="attention_ln")
+        ln_out = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype,
+                              param_dtype=self.param_dtype,
+                              name="output_ln")
+
         q8 = self.quantized and not train
+        attn_in = ln_att(hidden) if self.pre_ln else hidden
         attn_out, probs = BertSelfAttention(
             self.hidden_size, self.num_heads, self.dropout,
             fused_attention=self.fused_attention, quantized=self.quantized,
             dtype=self.dtype, param_dtype=self.param_dtype, name="attention",
-        )(hidden, attention_bias, attention_mask=attention_mask, train=train,
+        )(attn_in, attention_bias, attention_mask=attention_mask, train=train,
           output_attentions=output_attentions, cls_query_only=cls_only)
         if cls_only:
             # the rest of the layer (residual, LNs, FFN) runs on the CLS
             # position only — 1/T of the tokens (numerics unchanged)
             hidden = hidden[:, :1]
         attn_out = nn.Dropout(rate=self.dropout)(attn_out, deterministic=not train)
-        hidden = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype,
-                              param_dtype=self.param_dtype,
-                              name="attention_ln")(hidden + attn_out)
+        if self.pre_ln:
+            hidden = hidden + attn_out
+            ffn_in = ln_out(hidden)
+        else:
+            hidden = ln_att(hidden + attn_out)
+            ffn_in = hidden
 
         inter = MaybeQuantDenseGeneral(
             self.intermediate_size, quantized=q8, dtype=self.dtype,
             param_dtype=self.param_dtype, kernel_init=_HF_INIT,
-            name="intermediate")(hidden)
+            name="intermediate")(ffn_in)
         inter = _gelu_exact_erf(inter)
         out = MaybeQuantDenseGeneral(
             self.hidden_size, quantized=q8, dtype=self.dtype,
             param_dtype=self.param_dtype, kernel_init=_HF_INIT,
             name="output")(inter)
         out = nn.Dropout(rate=self.dropout)(out, deterministic=not train)
-        hidden = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype,
-                              param_dtype=self.param_dtype,
-                              name="output_ln")(hidden + out)
+        if self.pre_ln:
+            hidden = hidden + out
+        else:
+            hidden = ln_out(hidden + out)
         return hidden, probs
 
 
@@ -181,6 +200,7 @@ class BertEncoder(nn.Module):
     dropout: float = 0.1
     fused_attention: bool = True
     quantized: bool = False
+    pre_ln: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -232,7 +252,7 @@ class BertEncoder(nn.Module):
             hidden, probs = BertLayer(
                 self.hidden_size, self.num_heads, self.intermediate_size,
                 self.dropout, fused_attention=self.fused_attention,
-                quantized=self.quantized,
+                quantized=self.quantized, pre_ln=self.pre_ln,
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"layer{i}",
             )(hidden, bias, attention_mask=attention_mask, train=train,
@@ -243,6 +263,11 @@ class BertEncoder(nn.Module):
             if output_attentions:
                 all_attn.append(probs)
 
+        if self.pre_ln:
+            # pre-LN stacks need one final normalization before readout
+            hidden = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype,
+                                  param_dtype=self.param_dtype,
+                                  name="final_ln")(hidden)
         cls = hidden[:, 0, :]
         pooled = nn.Dense(self.hidden_size, dtype=self.dtype,
                           param_dtype=self.param_dtype,
@@ -283,6 +308,7 @@ class TextEncoder(nn.Module):
     projection_dim: int = 0  # 0 = no projection (raw 768-d)
     fused_attention: bool = True
     quantized: bool = False
+    pre_ln: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -298,6 +324,7 @@ class TextEncoder(nn.Module):
             dropout=self.bert_dropout,
             fused_attention=self.fused_attention,
             quantized=self.quantized,
+            pre_ln=self.pre_ln,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="bert",
@@ -360,6 +387,7 @@ def create_text_encoder(
         projection_dim=projection_dim,
         fused_attention=cfg.fused_attention,
         quantized=cfg.quantized_inference,
+        pre_ln=getattr(cfg, "pre_layernorm", False),
         dtype=dtype,
         param_dtype=param_dtype,
         name=name,

@@ -35,7 +35,11 @@ def _on_tpu() -> bool:
 
 
 def _normalize_kernel(x_ref, scale_ref, bias_ref, o_ref):
-    x = x_ref[:].astype(jnp.float32)
+    # u8 -> i32 -> f32: this chip's Mosaic cannot lower a direct
+    # uint8->float32 convert (NotImplementedError in lowering, caught by
+    # tests/test_tpu_kernels.py); the integer widening step is free on
+    # the VPU and numerically exact for 0..255
+    x = x_ref[:].astype(jnp.int32).astype(jnp.float32)
     o_ref[:] = (x * scale_ref[:] + bias_ref[:]).astype(o_ref.dtype)
 
 
