@@ -70,10 +70,11 @@ def cross_modal_attention_summary(
     t2i = np.asarray(attention_info["text_to_image_attention"])[0]
     out["image_to_text"] = i2t[:, 0, :]
     out["text_to_image"] = t2i[:, 0, :]
-    if tokenizer is not None and input_ids is not None \
-            and out["image_to_text"].shape[-1] == len(input_ids):
-        out["tokens"] = np.array(
-            tokenizer.convert_ids_to_tokens(list(input_ids)))
+    if tokenizer is not None and input_ids is not None:
+        ids = np.asarray(input_ids).reshape(-1)
+        if out["image_to_text"].shape[-1] == len(ids):
+            out["tokens"] = np.array(
+                tokenizer.convert_ids_to_tokens(ids.tolist()))
     return out
 
 
