@@ -1,12 +1,19 @@
 """Benchmark: multimodal predict throughput (image+text pairs/sec/chip).
 
-Measures the flagship inference path end-to-end on device: uint8 images →
-Pallas fused normalize → ResNet50 + BERT-base(128 tokens) + cross-modal
-attention fusion → class probabilities, batch-256 streaming, bf16 compute.
+Measures the flagship inference path end-to-end on device over the REAL
+corpus workload: the shipped 256x256 face PNGs and their clinical
+descriptions (tokenized with the framework WordPiece tokenizer) → Pallas
+fused normalize → ResNet50 + BERT-base + cross-modal attention fusion →
+class probabilities, batch-256 streaming, bf16 compute. The text tower
+runs at the predictor's length bucket for this corpus (the descriptions
+tokenize to 75-95 tokens → bucket 96; masked pads make this bit-identical
+to padding at max_text_length=128 — see inference/predictor.py).
 
 Baseline target (BASELINE.json): >= 5,000 pairs/sec/chip on TPU v5e.
 The PyTorch reference publishes no throughput numbers at all (SURVEY.md §6)
-— per-sample, unbatched CPU-bound inference (`evaluate_multimodal.py:77-163`).
+— per-sample, unbatched CPU-bound inference (`evaluate_multimodal.py:77-163`),
+and its predict path pads every request to fixed 128 tokens
+(`src/predict.py:111-118`).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -31,6 +38,49 @@ def _emit(result: dict) -> None:
     sys.stdout.flush()
 
 
+def _real_corpus_batch(cfg, B: int, S: int):
+    """The real serving workload, tiled to one batch: the shipped face
+    PNGs paired with their syndromes' clinical descriptions, tokenized and
+    sliced to the predictor's length bucket (see `_prep_texts`). Falls
+    back to synthetic u8 images / random ids if the corpus is absent."""
+    from multimodal_rare_disease_tpu.config import find_image_dir
+    from multimodal_rare_disease_tpu.data.clinical_text import (
+        load_clinical_descriptions,
+    )
+    from multimodal_rare_disease_tpu.data.images import (
+        load_image_uint8,
+        scan_image_corpus,
+    )
+    from multimodal_rare_disease_tpu.data.tokenizer import get_tokenizer
+    from multimodal_rare_disease_tpu.inference.predictor import (
+        _LENGTH_BUCKETS,
+    )
+
+    T = cfg.data.max_text_length
+    rng = np.random.default_rng(0)
+    try:
+        samples = scan_image_corpus(find_image_dir(cfg))
+        descs = load_clinical_descriptions(cfg)
+        if not samples or not descs:
+            raise FileNotFoundError("empty corpus")
+        images = np.stack([
+            load_image_uint8(samples[i % len(samples)].path, S)
+            for i in range(B)])
+        texts = [
+            descs.get(samples[i % len(samples)].syndrome, {}).get(
+                "clinical_description", samples[i % len(samples)].syndrome)
+            for i in range(B)]
+        ids, mask, _ = get_tokenizer().encode_batch(texts, T)
+        longest = int(mask.sum(axis=1).max())
+        bucket = next((b for b in _LENGTH_BUCKETS if longest <= b < T), T)
+        return images, ids[:, :bucket], mask[:, :bucket]
+    except (OSError, FileNotFoundError, StopIteration):
+        images = rng.integers(0, 256, (B, S, S, 3), dtype=np.uint8)
+        ids = rng.integers(0, cfg.text_encoder.vocab_size, (B, T),
+                           dtype=np.int32)
+        return images, ids, np.ones((B, T), np.int32)
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -43,12 +93,12 @@ def main() -> None:
     dtype = jnp.bfloat16
     model = create_model(cfg, mode="multimodal", dtype=dtype)
 
-    B, S, T = 256, 256, cfg.data.max_text_length
-    rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.integers(0, 256, (B, S, S, 3), dtype=np.uint8))
-    ids = jnp.asarray(rng.integers(0, cfg.text_encoder.vocab_size, (B, T),
-                                   dtype=np.int32))
-    mask = jnp.ones((B, T), jnp.int32)
+    B, S = 256, 256
+    images_np, ids_np, mask_np = _real_corpus_batch(cfg, B, S)
+    T = ids_np.shape[1]
+    images = jnp.asarray(images_np)
+    ids = jnp.asarray(ids_np)
+    mask = jnp.asarray(mask_np)
 
     variables = model.init(jax.random.key(0),
                            eval_preprocess(images[:1], cfg, dtype=dtype),

@@ -40,6 +40,14 @@ from multimodal_rare_disease_tpu.utils.checkpoint import load_checkpoint
 ImageLike = Union[str, Path, np.ndarray]
 
 _BATCH_BUCKETS = (1, 8, 32, 256)
+# Sequence-length buckets for the text tower. Attention masking makes
+# real-token outputs bit-identical regardless of trailing pad count
+# (pads get -inf scores -> exactly-0 probabilities), so serving a batch
+# at the smallest bucket >= its longest text is a pure win: the shipped
+# clinical descriptions tokenize to 75-95 tokens, and the reference pads
+# every request to a fixed 128 (`src/predict.py:111-118`). Buckets are
+# clipped to cfg.data.max_text_length, which stays the truncation bound.
+_LENGTH_BUCKETS = (32, 64, 96, 128, 160, 192, 224, 256)
 
 
 class MultimodalPredictor:
@@ -53,9 +61,11 @@ class MultimodalPredictor:
         mode: str = "multimodal",
         tokenizer: Optional[BertWordPieceTokenizer] = None,
         class_names: Optional[Sequence[str]] = None,
+        length_bucketing: bool = True,
     ):
         self.cfg = cfg
         self.mode = mode
+        self.length_bucketing = length_bucketing
         self.params = params
         self.batch_stats = batch_stats
         self.class_names = list(class_names or SYNDROME_NAMES)
@@ -107,6 +117,11 @@ class MultimodalPredictor:
                     ) -> Tuple[np.ndarray, np.ndarray]:
         T = self.cfg.data.max_text_length
         ids, mask, _ = self.tokenizer.encode_batch(list(texts), T)
+        if self.length_bucketing:
+            longest = int(mask.sum(axis=1).max())
+            bucket = next((b for b in _LENGTH_BUCKETS
+                           if longest <= b < T), T)
+            ids, mask = ids[:, :bucket], mask[:, :bucket]
         if len(texts) < n:
             pad = n - len(texts)
             ids = np.concatenate([ids, np.tile(ids[-1:], (pad, 1))])
