@@ -25,7 +25,7 @@ def main():
     cfg = resolve_config("default")
     dtype = jnp.bfloat16
     model = create_model(cfg, mode="multimodal", dtype=dtype)
-    T = cfg.data.max_text_length
+    T = int(os.environ.get("BENCH_T", cfg.data.max_text_length))
     S = cfg.data.image_size
 
     rng = np.random.default_rng(0)

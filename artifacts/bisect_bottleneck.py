@@ -1,18 +1,14 @@
-"""Fused ResNet bottleneck block, v2: grid strip-mined over row bands.
+"""Bisect the v2 fused-bottleneck Mosaic compile failure.
 
-Round-2's whole-image kernel (bench_bottleneck.py) died with an opaque
-TPU backend error (suspected VMEM: ~6.4 MB double-buffered IO blocks).
-This version executes the written follow-up plan: grid = (B, NBANDS),
-the input stays in HBM (memory_space=ANY) and each instance DMAs a
-fixed-size (ROWS+2)-row halo band into VMEM scratch, so VMEM stays
-bounded (~2.5 MB) regardless of channel width.
-
-Inference-only: BN folded into conv weights/bias outside the kernel.
-1x1 convs are channel matmuls; the 3x3 is 9 rolled+masked matmuls.
-
-Run on the real chip: python artifacts/bench_bottleneck_v2.py
+STAGE env var selects how much of the kernel body runs:
+  0 = DMA in, copy band to output
+  1 = + conv1 (1x1 matmul + relu)
+  2 = + 3x3 taps accumulation
+  3 = + conv3 + residual + relu (full kernel)
+INTERP=1 runs in interpreter mode (numerics check only).
 """
 
+import os
 import time
 
 import jax
@@ -21,15 +17,16 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-B, S, CIN, W, COUT = 256, 56, 256, 64, 256  # stage1 identity block shapes
+B, S, CIN, W, COUT = 4, 56, 256, 64, 256
 ROWS = 14
 NBANDS = S // ROWS
 HALO_ROWS = ROWS + 2
-N = 32  # carry-chain iterations (RTT-proof harness)
+STAGE = int(os.environ.get("STAGE", "3"))
+NTAPS = int(os.environ.get("NTAPS", "9"))
+INTERP = os.environ.get("INTERP", "0") == "1"
 
 
 def _dotc(a, w):
-    """[R,S,K] x [K,N] -> [R,S,N] contracting the channel dim."""
     return jax.lax.dot_general(a, w, (((2,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
 
@@ -57,8 +54,19 @@ def _kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, o_ref,
         d.wait()
 
     xs = xs_ref[...]
+    if STAGE == 0:
+        o_ref[0] = jnp.pad(xs[1:1 + ROWS].astype(jnp.float32),
+                           ((0, 0), (0, 0), (0, COUT - CIN))
+                           ).astype(o_ref.dtype) if CIN != COUT else \
+            xs[1:1 + ROWS].astype(o_ref.dtype)
+        return
+
     h = _dotc(xs, w1_ref[...])
     h = jnp.maximum(h + b1_ref[0], 0.0).astype(xs.dtype)
+    if STAGE == 1:
+        o_ref[0] = jnp.concatenate(
+            [h[1:1 + ROWS]] * (COUT // W), axis=-1).astype(o_ref.dtype)
+        return
 
     # 3x3 via 9 STATIC slices of a column-padded scratch ref (no rolls,
     # no elementwise masks — both broke or bogged down Mosaic). Halo rows
@@ -77,33 +85,39 @@ def _kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, o_ref,
         hp_ref[HALO_ROWS - 1:] = jnp.zeros((1, S + 2, W), h.dtype)
 
     acc = jnp.zeros((ROWS, S, W), jnp.float32)
-    for t in range(9):
+    for t in range(NTAPS):
         dy, dx = divmod(t, 3)
         sl = hp_ref[dy:dy + ROWS, dx:dx + S, :]
         k = w2_ref[t * W:(t + 1) * W, :]
         acc = acc + _dotc(sl, k)
     h2 = jnp.maximum(acc + b2_ref[0], 0.0).astype(xs.dtype)
+    if STAGE == 2:
+        o_ref[0] = jnp.concatenate(
+            [h2] * (COUT // W), axis=-1).astype(o_ref.dtype)
+        return
+
     out = (_dotc(h2, w3_ref[...]) + b3_ref[0]).astype(jnp.float32)
     out = out + xs_ref[1:1 + ROWS].astype(jnp.float32)
     o_ref[0] = jnp.maximum(out, 0.0).astype(o_ref.dtype)
 
 
-def fused_block(x, w1, b1, w2, b2, w3, b3):
+def fused_block(x, *args):
     full = lambda *shape: pl.BlockSpec(shape, lambda i, j: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _kernel, grid=(B, NBANDS),
+        _kernel, grid=(x.shape[0], NBANDS),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
                   full(CIN, W), full(1, W), full(9 * W, W),
                   full(1, W), full(W, COUT), full(1, COUT)],
         out_specs=pl.BlockSpec((1, ROWS, S, COUT),
                                lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, S, S, COUT), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((x.shape[0], S, S, COUT), x.dtype),
         scratch_shapes=[pltpu.VMEM((HALO_ROWS, S, CIN), x.dtype),
                         pltpu.VMEM((HALO_ROWS, S + 2, W), x.dtype),
                         pltpu.SemaphoreType.DMA((3,))],
-    )(x, w1, b1, w2, b2, w3, b3)
+        interpret=INTERP,
+    )(x, *args)
 
 
 def xla_block(x, w1, b1, w2, b2, w3, b3):
@@ -122,72 +136,24 @@ def xla_block(x, w1, b1, w2, b2, w3, b3):
     return jnp.maximum(h + b3 + x.astype(jnp.float32), 0.0).astype(x.dtype)
 
 
-def measure(fn, x, args):
-    @jax.jit
-    def run(x, *args):
-        def step(c, _):
-            xx = x + c.astype(x.dtype)
-            o = fn(xx, *args)
-            return jnp.sum(o[:, 0, 0, :8].astype(jnp.float32)) * 1e-9, ()
-        tot, _ = jax.lax.scan(step, jnp.zeros((), jnp.float32), None,
-                              length=N)
-        return tot
-
-    float(run(x, *args))
-    ts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        float(run(x, *args))
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts)) / N * 1000
-
-
 def main():
     rng = np.random.default_rng(0)
     dt = jnp.bfloat16
     x = jnp.asarray(rng.normal(size=(B, S, S, CIN)) * 0.5, dt)
-    w1 = jnp.asarray(rng.normal(size=(CIN, W)) * 0.05, dt)
-    b1 = jnp.asarray(rng.normal(size=(1, W)) * 0.01, jnp.float32)
-    w2 = jnp.asarray(rng.normal(size=(9 * W, W)) * 0.05, dt)
-    b2 = jnp.asarray(rng.normal(size=(1, W)) * 0.01, jnp.float32)
-    w3 = jnp.asarray(rng.normal(size=(W, COUT)) * 0.05, dt)
-    b3 = jnp.asarray(rng.normal(size=(1, COUT)) * 0.01, jnp.float32)
-    args = (w1, b1, w2, b2, w3, b3)
-
-    ref = np.asarray(xla_block(x[:4], *args), np.float32)
-    try:
-        got = np.asarray(_small_fused(x[:4], args), np.float32)
-    except Exception as e:
-        print("fused numerics FAILED:", str(e)[:600])
-        got = None
-    if got is not None:
+    args = (jnp.asarray(rng.normal(size=(CIN, W)) * 0.05, dt),
+            jnp.asarray(rng.normal(size=(1, W)) * 0.01, jnp.float32),
+            jnp.asarray(rng.normal(size=(9 * W, W)) * 0.05, dt),
+            jnp.asarray(rng.normal(size=(1, W)) * 0.01, jnp.float32),
+            jnp.asarray(rng.normal(size=(W, COUT)) * 0.05, dt),
+            jnp.asarray(rng.normal(size=(1, COUT)) * 0.01, jnp.float32))
+    t0 = time.time()
+    got = np.asarray(fused_block(x, *args), np.float32)
+    print(f"STAGE={STAGE} INTERP={INTERP}: compiled+ran in "
+          f"{time.time()-t0:.1f}s, out={got.shape}", flush=True)
+    if STAGE == 3:
+        ref = np.asarray(xla_block(x, *args), np.float32)
         print("maxdiff:", float(np.abs(got - ref).max()),
-              "ref scale:", float(np.abs(ref).max()), flush=True)
-
-    t_x = measure(xla_block, x, args)
-    print(f"xla_block  : {t_x:7.3f} ms/batch", flush=True)
-    if got is not None:
-        t_p = measure(fused_block, x, args)
-        print(f"pallas v2  : {t_p:7.3f} ms/batch", flush=True)
-
-
-def _small_fused(x4, args):
-    """Numerics check on 4 images without recompiling the B-sized grid."""
-    full = lambda *shape: pl.BlockSpec(shape, lambda i, j: (0,) * len(shape),
-                                       memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        _kernel, grid=(4, NBANDS),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  full(CIN, W), full(1, W), full(9 * W, W),
-                  full(1, W), full(W, COUT), full(1, COUT)],
-        out_specs=pl.BlockSpec((1, ROWS, S, COUT),
-                               lambda i, j: (i, j, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((4, S, S, COUT), x4.dtype),
-        scratch_shapes=[pltpu.VMEM((HALO_ROWS, S, CIN), x4.dtype),
-                        pltpu.VMEM((HALO_ROWS, S + 2, W), x4.dtype),
-                        pltpu.SemaphoreType.DMA((3,))],
-    )(x4, *args)
+              "ref scale:", float(np.abs(ref).max()))
 
 
 if __name__ == "__main__":

@@ -3,6 +3,7 @@
 Run: python artifacts/dump_hlo.py [pattern]
 """
 
+import os
 import re
 import sys
 
@@ -21,7 +22,7 @@ def main():
     cfg = resolve_config("default")
     dtype = jnp.bfloat16
     model = create_model(cfg, mode="multimodal", dtype=dtype)
-    T = cfg.data.max_text_length
+    T = int(os.environ.get("BENCH_T", cfg.data.max_text_length))
     S = cfg.data.image_size
 
     x = jnp.zeros((B, S, S, 3), dtype)

@@ -1,10 +1,11 @@
-"""Capture a device trace of the predict step and print the top HLO ops.
+"""Attributed device profile: trace slices joined to HLO metadata.
 
-Runs model_only (preprocessed inputs) for a few batches under
-jax.profiler.trace, then parses the perfetto trace.json.gz, aggregating
-device-track slice durations by (trimmed) op name.
+profile_trace.py's name-trimming collapsed everything into 'fusion' /
+'convert_reduce_fusion'; this version keeps exact op names and joins them
+to the op_name metadata (flax module path) parsed from the optimized HLO,
+so each hot op is attributed to model components.
 
-Run: PYTHONPATH=/root/repo python artifacts/profile_trace.py
+Run on chip: BENCH_T=96 python artifacts/profile_trace3.py
 """
 
 import glob
@@ -23,7 +24,7 @@ from multimodal_rare_disease_tpu.config import resolve_config
 from multimodal_rare_disease_tpu.models import create_model
 
 B = 256
-OUT = "/tmp/jax_trace"
+OUT = "/tmp/jax_trace3"
 
 
 def main():
@@ -38,58 +39,64 @@ def main():
     ids = jnp.asarray(rng.integers(0, cfg.text_encoder.vocab_size, (B, T),
                                    dtype=np.int32))
     mask = jnp.ones((B, T), jnp.int32)
-
     variables = model.init(jax.random.key(0), x[:1], ids[:1], mask[:1],
                            train=False)
     variables = jax.tree_util.tree_map(
         lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, variables)
 
-    @jax.jit
     def step(v, x, ids, mask):
         return jnp.sum(model.apply(v, x, ids, mask, train=False)["probs"])
 
-    float(step(variables, x, ids, mask))  # compile
+    compiled = jax.jit(step).lower(variables, x, ids, mask).compile()
+    hlo = compiled.as_text()
+
+    # op -> (metadata op_name, shape) from the optimized HLO
+    meta = {}
+    for m in re.finditer(
+            r"%?([a-z0-9_.-]+) = (\(?[a-z0-9]+\[[0-9,]*\][^ ]*)[^\n]*?"
+            r"metadata=\{op_name=\"([^\"]*)\"", hlo):
+        meta[m.group(1)] = (m.group(3), m.group(2))
+
+    float(np.asarray(compiled(variables, x, ids, mask)))
     os.system(f"rm -rf {OUT}")
     with jax.profiler.trace(OUT):
         for _ in range(3):
-            float(step(variables, x, ids, mask))
+            float(np.asarray(compiled(variables, x, ids, mask)))
 
-    # parse perfetto trace
     files = glob.glob(f"{OUT}/**/*.trace.json.gz", recursive=True)
-    if not files:
-        print("no trace.json.gz found under", OUT)
-        sys.exit(1)
     with gzip.open(files[0], "rt") as f:
         data = json.load(f)
-
     events = data.get("traceEvents", [])
-    # find device-side process ids (TPU / device streams, not python host)
     pid_names = {}
     for e in events:
         if e.get("ph") == "M" and e.get("name") == "process_name":
             pid_names[e["pid"]] = e["args"].get("name", "")
     dev_pids = {p for p, n in pid_names.items()
                 if re.search(r"TPU|/device|XLA", n, re.I)}
-    print("processes:", json.dumps(pid_names, indent=1)[:500])
 
     agg = defaultdict(float)
     cnt = defaultdict(int)
-    total = 0.0
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
             continue
         name = e.get("name", "")
-        dur = e.get("dur", 0) / 1e3  # us -> ms
-        # trim ssa numbering: fusion.123 -> fusion
-        key = re.sub(r"[.\d]+$", "", name)
-        agg[key] += dur
-        cnt[key] += 1
-        total += dur
+        if name.startswith("jit_"):
+            continue
+        agg[name] += e.get("dur", 0) / 1e3
+        cnt[name] += 1
 
-    print(f"\ntotal device time: {total:.2f} ms over 3 steps "
-          f"(= {total/3:.2f} ms/step)\n")
-    for k in sorted(agg, key=agg.get, reverse=True)[:30]:
-        print(f"{agg[k]/3:8.3f} ms/step  x{cnt[k]//3:<4d} {k[:90]}")
+    total = sum(agg.values())
+    print(f"total device (3 steps): {total:.1f} ms = {total/3:.2f} ms/step\n")
+    shown = 0.0
+    for k in sorted(agg, key=agg.get, reverse=True)[:45]:
+        path, shape = meta.get(k, ("?", "?"))
+        # compress the flax path
+        path = re.sub(r"jit\(step\)/MultimodalClassifier/", "", path)
+        path = re.sub(r"/jit\(_?[a-z_]+\)", "", path)
+        shown += agg[k]
+        print(f"{agg[k]/3:7.3f} ms  x{cnt[k]//3:<3d} {k[:44]:44s} "
+              f"{shape[:24]:24s} {path[:70]}")
+    print(f"\nshown: {shown/3:.2f} ms/step of {total/3:.2f}")
 
 
 if __name__ == "__main__":
