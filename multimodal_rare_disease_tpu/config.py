@@ -235,6 +235,13 @@ class TextEncoderConfig:
     # pinned at the uniform-logits attractor on tiny corpora
     # (docs/TRAINING.md scale cliff) while pre-LN descends.
     pre_layernorm: bool = False
+    # Flat-2D residual stream: keep hidden as [B*T, H] between layers so
+    # every FFN/projection dot is an unambiguous 2-D matmul. Numerically
+    # identical (pure reshapes; bit-exact on CPU). Matters at the T=96
+    # serving bucket, where a 3-D [B, T, H] stream makes XLA's layout
+    # assignment disagree with itself (relayout copies + FFN dots lowered
+    # as 37%-MFU convolutions — artifacts/PERF_R3.md lever 3).
+    flat_residual: bool = True
 
 
 @dataclass(frozen=True)

@@ -69,7 +69,17 @@ class BertSelfAttention(nn.Module):
             MaybeQuantDenseGeneral,
         )
 
-        B, T, H = hidden.shape
+        # The residual stream arrives either as [B, T, H] (classic) or
+        # flattened [B*T, H] (flat mode, see BertEncoder.flat_residual);
+        # attention is the only sublayer that needs the [B, T, ...] view,
+        # so it reshapes around its core and hands back the caller's rank.
+        flat = hidden.ndim == 2
+        if flat:
+            B = attention_bias.shape[0]
+            T = hidden.shape[0] // B
+            H = hidden.shape[-1]
+        else:
+            B, T, H = hidden.shape
         d = self.hidden_size // self.num_heads
         q8 = self.quantized and not train
         # fused QKV: one [H, 3, h, d] matmul instead of three [H, h, d]
@@ -81,6 +91,8 @@ class BertSelfAttention(nn.Module):
                                      param_dtype=self.param_dtype,
                                      kernel_init=_HF_INIT,
                                      name="qkv")(hidden)  # [B,T,3,h,d]
+        if flat:
+            qkv = qkv.reshape(B, T, 3, self.num_heads, d)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         if cls_query_only:
             # final-layer fast path: only the CLS position is consumed
@@ -109,6 +121,8 @@ class BertSelfAttention(nn.Module):
             probs_dropped = nn.Dropout(rate=self.dropout)(
                 probs, deterministic=not train)
             ctx = jnp.einsum("bhts,bshd->bthd", probs_dropped, v)
+        if flat:
+            ctx = ctx.reshape(B * ctx.shape[1], self.num_heads, d)
         out = MaybeQuantDenseGeneral(
             H, axis=(-2, -1), quantized=q8, dtype=self.dtype,
             param_dtype=self.param_dtype, kernel_init=_HF_INIT,
@@ -126,6 +140,7 @@ class BertLayer(nn.Module):
     fused_attention: bool = True
     quantized: bool = False
     pre_ln: bool = False
+    ln_barrier: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -150,8 +165,20 @@ class BertLayer(nn.Module):
                               param_dtype=self.param_dtype,
                               name="output_ln")
 
+        # Optional fusion barrier between each residual add and its
+        # LayerNorm (identity on values and gradients). Hypothesis was
+        # that XLA fusing the LN's f32 convert + mean/var reduces into
+        # the preceding matmul epilogue caused the 1.58 ms
+        # convert_reduce_fusions at B=256/T=96 (17.4 ms/step, see
+        # artifacts/profile_trace3.py); measured OFF as default: the
+        # barrier made BERT-only *slower* (40.98 vs 39.05 ms/step on
+        # v5e) because the split forces an extra HBM materialization of
+        # the residual per LN. Kept as a toggle for other stacks.
+        def _fb(x):
+            return jax.lax.optimization_barrier(x) if self.ln_barrier else x
+
         q8 = self.quantized and not train
-        attn_in = ln_att(hidden) if self.pre_ln else hidden
+        attn_in = ln_att(_fb(hidden)) if self.pre_ln else hidden
         attn_out, probs = BertSelfAttention(
             self.hidden_size, self.num_heads, self.dropout,
             fused_attention=self.fused_attention, quantized=self.quantized,
@@ -161,13 +188,17 @@ class BertLayer(nn.Module):
         if cls_only:
             # the rest of the layer (residual, LNs, FFN) runs on the CLS
             # position only — 1/T of the tokens (numerics unchanged)
-            hidden = hidden[:, :1]
+            if hidden.ndim == 2:  # flat [B*T, H] stream → [B, H]
+                B = attention_bias.shape[0]
+                hidden = hidden.reshape(B, -1, hidden.shape[-1])[:, 0]
+            else:
+                hidden = hidden[:, :1]
         attn_out = nn.Dropout(rate=self.dropout)(attn_out, deterministic=not train)
         if self.pre_ln:
             hidden = hidden + attn_out
-            ffn_in = ln_out(hidden)
+            ffn_in = ln_out(_fb(hidden))
         else:
-            hidden = ln_att(hidden + attn_out)
+            hidden = ln_att(_fb(hidden + attn_out))
             ffn_in = hidden
 
         inter = MaybeQuantDenseGeneral(
@@ -183,7 +214,7 @@ class BertLayer(nn.Module):
         if self.pre_ln:
             hidden = hidden + out
         else:
-            hidden = ln_out(hidden + out)
+            hidden = ln_out(_fb(hidden + out))
         return hidden, probs
 
 
@@ -201,6 +232,8 @@ class BertEncoder(nn.Module):
     fused_attention: bool = True
     quantized: bool = False
     pre_ln: bool = False
+    ln_barrier: bool = False
+    flat_residual: bool = True
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -246,6 +279,21 @@ class BertEncoder(nn.Module):
         bias = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32)) * -1e9
         bias = bias.astype(self.dtype)
 
+        # Flat-2D residual stream: keep hidden as [B*T, H] between layers
+        # so every FFN/projection dot is an unambiguous [B*T, K] x [K, N]
+        # matmul. At T=128 this is neutral; at T=96 (the serving bucket)
+        # a [B, T, H] stream makes XLA's layout assignment disagree with
+        # itself — {2,0,1} on part of the stream, 4.85 ms of relayout
+        # copies, and the FFN output projections lowered as convolutions
+        # at 37% MFU (artifacts/profile_trace3.py, dump_hlo.py). The
+        # values are identical (pure reshapes); attention reshapes to
+        # [B, T, ...] around its core. Viz paths (hidden states /
+        # attentions) keep the classic 3D stream.
+        flat = (self.flat_residual and not output_hidden_states
+                and not output_attentions)
+        if flat:
+            hidden = hidden.reshape(B * T, self.hidden_size)
+
         all_hidden = [hidden] if output_hidden_states else None
         all_attn = [] if output_attentions else None
         for i in range(self.num_layers):
@@ -253,6 +301,7 @@ class BertEncoder(nn.Module):
                 self.hidden_size, self.num_heads, self.intermediate_size,
                 self.dropout, fused_attention=self.fused_attention,
                 quantized=self.quantized, pre_ln=self.pre_ln,
+                ln_barrier=self.ln_barrier,
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"layer{i}",
             )(hidden, bias, attention_mask=attention_mask, train=train,
@@ -268,6 +317,10 @@ class BertEncoder(nn.Module):
             hidden = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype,
                                   param_dtype=self.param_dtype,
                                   name="final_ln")(hidden)
+        if flat:
+            # back to [B, T', H] for the public contract (T'=1 after the
+            # cls-only final layer, where the stream is already [B, H])
+            hidden = hidden.reshape(B, -1, self.hidden_size)
         cls = hidden[:, 0, :]
         pooled = nn.Dense(self.hidden_size, dtype=self.dtype,
                           param_dtype=self.param_dtype,
@@ -309,6 +362,8 @@ class TextEncoder(nn.Module):
     fused_attention: bool = True
     quantized: bool = False
     pre_ln: bool = False
+    ln_barrier: bool = False
+    flat_residual: bool = True
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -325,6 +380,8 @@ class TextEncoder(nn.Module):
             fused_attention=self.fused_attention,
             quantized=self.quantized,
             pre_ln=self.pre_ln,
+            ln_barrier=self.ln_barrier,
+            flat_residual=self.flat_residual,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="bert",
@@ -388,6 +445,7 @@ def create_text_encoder(
         fused_attention=cfg.fused_attention,
         quantized=cfg.quantized_inference,
         pre_ln=getattr(cfg, "pre_layernorm", False),
+        flat_residual=getattr(cfg, "flat_residual", True),
         dtype=dtype,
         param_dtype=param_dtype,
         name=name,

@@ -211,6 +211,41 @@ def test_bert_cls_only_final_matches_full_forward():
                                np.asarray(full["pooler_output"]), atol=1e-6)
 
 
+def test_bert_flat_residual_stream_equals_classic():
+    """flat_residual keeps the residual stream [B*T, H] between layers
+    (unambiguous 2-D matmuls for XLA layout assignment — see
+    artifacts/PERF_R3.md lever 3). Pure reshapes: must be bit-exact vs
+    the classic [B, T, H] stream, for both cls_only_final settings, and
+    the viz path must still produce 3-D hidden states/attentions."""
+    from multimodal_rare_disease_tpu.models.bert import BertEncoder
+
+    kw = dict(vocab_size=128, hidden_size=32, num_layers=3, num_heads=4,
+              intermediate_size=64, max_position_embeddings=64, dropout=0.0,
+              fused_attention=False)
+    enc_f = BertEncoder(flat_residual=True, **kw)
+    enc_c = BertEncoder(flat_residual=False, **kw)
+    rng = np.random.default_rng(1)
+    ids = jnp.asarray(rng.integers(0, 128, (2, 16)), jnp.int32)
+    mask = jnp.asarray([[1] * 12 + [0] * 4, [1] * 16], jnp.int32)
+    params = enc_f.init(jax.random.key(0), ids, mask)["params"]
+
+    for cls_only in (False, True):
+        of = enc_f.apply({"params": params}, ids, mask,
+                         cls_only_final=cls_only)
+        oc = enc_c.apply({"params": params}, ids, mask,
+                         cls_only_final=cls_only)
+        np.testing.assert_array_equal(np.asarray(of["cls"]),
+                                      np.asarray(oc["cls"]))
+        np.testing.assert_array_equal(np.asarray(of["pooler_output"]),
+                                      np.asarray(oc["pooler_output"]))
+        assert of["last_hidden_state"].shape == oc["last_hidden_state"].shape
+
+    viz = enc_f.apply({"params": params}, ids, mask,
+                      output_hidden_states=True, output_attentions=True)
+    assert viz["hidden_states"][-1].shape == (2, 16, 32)
+    assert viz["attentions"][0].shape == (2, 4, 16, 16)
+
+
 def test_stem_conv_s2d_equals_canonical():
     """Inference space-to-depth stem must match the 7x7/s2 conv exactly."""
     from multimodal_rare_disease_tpu.models.resnet import _StemConv
