@@ -5,6 +5,7 @@ from __future__ import annotations
 import argparse
 import ast
 import logging
+import os
 from typing import Any, Dict, List, Optional
 
 from multimodal_rare_disease_tpu.config import Config, resolve_config
@@ -18,6 +19,60 @@ def setup_logging(verbose: bool = True) -> None:
     )
 
 
+def configure_platform(platform: Optional[str] = None) -> None:
+    """Pin the JAX platform before first backend use.
+
+    Role parity with the reference's `get_safe_device()`
+    (`src/train.py:30-51`): an explicit escape hatch when the
+    accelerator is unreachable. Resolution order: the `--platform` flag,
+    then the MRD_PLATFORM env var, then JAX's configured default (the
+    TPU where available). Needed because some images pre-configure
+    `jax_platforms='axon,cpu'` at a level the JAX_PLATFORMS env var
+    does not override — and a dead TPU tunnel hangs backend creation
+    rather than erroring, so in-process probing is not an option (see
+    `probe_default_backend` for the subprocess probe).
+    """
+    choice = platform or os.environ.get("MRD_PLATFORM")
+    if not choice or choice == "auto":
+        return
+    if choice == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    # "tpu": keep JAX's default platform priority — the accelerator
+    # platform name varies by environment ('tpu', or 'axon' under the
+    # tunnel), and the default already prefers it where registered.
+
+
+def probe_default_backend(timeout_s: float = 120.0) -> Dict[str, Any]:
+    """Probe JAX's default backend in a SUBPROCESS with a timeout.
+
+    A dead accelerator tunnel makes `jax.devices()` hang indefinitely
+    inside PJRT client creation (holding jax's backend lock, so a
+    same-process thread probe would wedge the process too). The
+    subprocess is killable; the parent's backend state is untouched.
+    Returns {"ok": bool, "devices": str | None, "error": str | None}.
+    """
+    import subprocess
+    import sys
+
+    code = ("import jax; d = jax.devices(); "
+            "print(f'{len(d)}x {d[0].platform}:{d[0].device_kind}')")
+    try:
+        res = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True,
+                             timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return {"ok": False, "devices": None,
+                "error": f"backend init hung >{timeout_s:.0f}s "
+                         "(accelerator tunnel down?)"}
+    if res.returncode != 0:
+        return {"ok": False, "devices": None,
+                "error": (res.stderr or "").strip()[-500:]}
+    return {"ok": True, "devices": res.stdout.strip().splitlines()[-1],
+            "error": None}
+
+
 def add_config_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--preset", default=None,
                         choices=["default", "multimodal", "small_data",
@@ -26,6 +81,16 @@ def add_config_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--set", dest="overrides", action="append", default=[],
                         metavar="KEY=VALUE",
                         help="config override, e.g. --set training.batch_size=16")
+    add_platform_arg(parser)
+
+
+def add_platform_arg(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument("--platform", default=None,
+                        choices=["auto", "cpu", "tpu"],
+                        help="JAX platform: auto (default; honors "
+                             "MRD_PLATFORM env), cpu (run without the "
+                             "accelerator, e.g. when the TPU tunnel is "
+                             "down), tpu")
 
 
 def build_config(args: argparse.Namespace, mode: str,

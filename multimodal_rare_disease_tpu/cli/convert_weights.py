@@ -18,6 +18,12 @@ import argparse
 from pathlib import Path
 
 
+from multimodal_rare_disease_tpu.cli._common import (
+    add_platform_arg,
+    configure_platform,
+)
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description="Convert torch/HF weights")
     parser.add_argument("--backbone", default=None,
@@ -27,7 +33,9 @@ def main(argv=None) -> int:
     parser.add_argument("--out", required=True, help="output checkpoint dir")
     parser.add_argument("--num-layers", type=int, default=12)
     parser.add_argument("--num-heads", type=int, default=12)
+    add_platform_arg(parser)
     args = parser.parse_args(argv)
+    configure_platform(args.platform)
 
     if not args.backbone and not args.hf_bert:
         parser.error("provide --backbone and/or --hf-bert")

@@ -9,6 +9,12 @@ import argparse
 import json
 
 
+from multimodal_rare_disease_tpu.cli._common import (
+    add_platform_arg,
+    configure_platform,
+)
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description="Evaluate a trained model")
     parser.add_argument("--checkpoint", required=True, action="append",
@@ -21,7 +27,9 @@ def main(argv=None) -> int:
     parser.add_argument("--stats", action="store_true",
                         help="run chi-square/McNemar after evaluating "
                              "multiple checkpoints")
+    add_platform_arg(parser)
     args = parser.parse_args(argv)
+    configure_platform(args.platform)
 
     from multimodal_rare_disease_tpu.cli._common import setup_logging
 

@@ -11,6 +11,12 @@ from pathlib import Path
 import numpy as np
 
 
+from multimodal_rare_disease_tpu.cli._common import (
+    add_platform_arg,
+    configure_platform,
+)
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
         description="Grad-CAM + attention explainability")
@@ -20,7 +26,9 @@ def main(argv=None) -> int:
     parser.add_argument("--outdir", default="results/explain")
     parser.add_argument("--batch", action="store_true",
                         help="run one sample per syndrome from the corpus")
+    add_platform_arg(parser)
     args = parser.parse_args(argv)
+    configure_platform(args.platform)
 
     from multimodal_rare_disease_tpu.cli._common import setup_logging
 

@@ -8,6 +8,12 @@ from __future__ import annotations
 import argparse
 
 
+from multimodal_rare_disease_tpu.cli._common import (
+    add_platform_arg,
+    configure_platform,
+)
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
         description="Generate a class-conditional synthetic face corpus")
@@ -28,7 +34,9 @@ def main(argv=None) -> int:
                         help="VAE training epochs")
     parser.add_argument("--foldered", action="store_true",
                         help="folder-per-class layout instead of flat")
+    add_platform_arg(parser)
     args = parser.parse_args(argv)
+    configure_platform(args.platform)
 
     if args.backend == "vae":
         from multimodal_rare_disease_tpu.data.generative import (

@@ -16,6 +16,12 @@ import sys
 from pathlib import Path
 
 
+from multimodal_rare_disease_tpu.cli._common import (
+    add_platform_arg,
+    configure_platform,
+)
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description="Rare-disease prediction")
     parser.add_argument("--checkpoint", required=True)
@@ -31,7 +37,9 @@ def main(argv=None) -> int:
     parser.add_argument("--embeddings", action="store_true")
     parser.add_argument("--demo", action="store_true",
                         help="predict on one sample per syndrome from the corpus")
+    add_platform_arg(parser)
     args = parser.parse_args(argv)
+    configure_platform(args.platform)
 
     from multimodal_rare_disease_tpu.cli._common import setup_logging
 

@@ -227,6 +227,12 @@ def make_handler(batcher: MicroBatcher, allow_paths: bool = False,
     return Handler
 
 
+from multimodal_rare_disease_tpu.cli._common import (
+    add_platform_arg,
+    configure_platform,
+)
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description="Serve the predictor over HTTP")
     parser.add_argument("--checkpoint", required=True)
@@ -240,7 +246,9 @@ def main(argv=None) -> int:
                         help="let requests reference local image paths")
     parser.add_argument("--paths-root", default=None,
                         help="confine --allow-paths to this directory")
+    add_platform_arg(parser)
     args = parser.parse_args(argv)
+    configure_platform(args.platform)
 
     from multimodal_rare_disease_tpu.inference import load_predictor
 

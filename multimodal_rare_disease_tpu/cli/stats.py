@@ -11,6 +11,12 @@ from pathlib import Path
 import numpy as np
 
 
+from multimodal_rare_disease_tpu.cli._common import (
+    add_platform_arg,
+    configure_platform,
+)
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
         description="Chi-square / McNemar / bootstrap validation of "
@@ -21,7 +27,9 @@ def main(argv=None) -> int:
                         help="run on synthetic predictions at known "
                              "accuracies (multimodal 85%%, image 75%%, "
                              "text 70%%, n=500)")
+    add_platform_arg(parser)
     args = parser.parse_args(argv)
+    configure_platform(args.platform)
 
     from multimodal_rare_disease_tpu.evaluation.stats import (
         compare_multimodal_vs_unimodal,

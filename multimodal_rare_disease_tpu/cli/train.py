@@ -17,6 +17,7 @@ import tempfile
 from multimodal_rare_disease_tpu.cli._common import (
     add_config_args,
     build_config,
+    configure_platform,
     setup_logging,
 )
 
@@ -44,6 +45,7 @@ def main(argv=None) -> int:
                         help="continue from the last checkpoint for this mode")
     add_config_args(parser)
     args = parser.parse_args(argv)
+    configure_platform(args.platform)
     setup_logging()
 
     extra = {}

@@ -8,11 +8,19 @@ import argparse
 import traceback
 
 
+from multimodal_rare_disease_tpu.cli._common import (
+    add_platform_arg,
+    configure_platform,
+)
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description="Verify framework setup")
     parser.add_argument("--full", action="store_true",
                         help="include a forward pass of the full-size model")
+    add_platform_arg(parser)
     args = parser.parse_args(argv)
+    configure_platform(args.platform)
 
     steps = []
 
@@ -36,14 +44,30 @@ def main(argv=None) -> int:
 
     @step("2. devices & mesh")
     def _devices():
+        from multimodal_rare_disease_tpu.cli._common import (
+            probe_default_backend,
+        )
         from multimodal_rare_disease_tpu.config import get_config
         from multimodal_rare_disease_tpu.parallel import (
             create_mesh,
             describe_devices,
         )
 
+        # A dead accelerator tunnel HANGS in-process backend creation
+        # (it never errors), so probe in a killable subprocess first and
+        # fall back to CPU with a diagnosis — get_safe_device parity
+        # (ref `src/train.py:30-51`, which probes CUDA with a real
+        # allocation before trusting it).
+        note = ""
+        if args.platform != "cpu":
+            probe = probe_default_backend(timeout_s=120.0)
+            if not probe["ok"]:
+                import jax
+
+                jax.config.update("jax_platforms", "cpu")
+                note = f" [accelerator unreachable: {probe['error']} → cpu]"
         mesh = create_mesh(get_config())
-        return f"{describe_devices()}, mesh {dict(mesh.shape)}"
+        return f"{describe_devices()}, mesh {dict(mesh.shape)}{note}"
 
     @step("3. config")
     def _config():
