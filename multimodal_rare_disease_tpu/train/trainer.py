@@ -164,11 +164,24 @@ class Trainer:
                                          batch.items()}, images)
         variables = self.model.init(self.rngs.device("init"), *args, train=False)
         self.state = create_train_state(self.cfg, variables)
-        # replicate across the mesh
-        rep = replicated_sharding(self.mesh)
-        self.state = jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, rep) if isinstance(x, jnp.ndarray) else x,
-            self.state)
+        if self.mesh.shape.get("model", 1) > 1:
+            # tensor-parallel placements over the 'model' axis (BERT
+            # heads + FFN inner dim; see parallel/tp.py) — XLA SPMD
+            # propagates these through the jitted step and inserts the
+            # per-layer all-reduces over ICI
+            from multimodal_rare_disease_tpu.parallel.tp import (
+                describe_tp,
+                shard_train_state,
+            )
+
+            self.state = shard_train_state(self.mesh, self.state)
+            log.info("%s", describe_tp(self.state.params, self.mesh))
+        else:
+            # replicate across the mesh
+            rep = replicated_sharding(self.mesh)
+            self.state = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, rep) if isinstance(x, jnp.ndarray)
+                else x, self.state)
         total, trainable = count_params(
             self.state.params, trainable_mask(self.cfg, self.state.params))
         log.info("%s model: %.1fM params (%.1fM trainable)", self.mode,
@@ -216,6 +229,22 @@ class Trainer:
         mixup_alpha = cfg.data.mixup_alpha
         use_mixup = mixup_alpha > 0 and mode != "text_only"
 
+        # Tensor-parallel runs pin the updated state to its initial
+        # placement (parallel/tp.py): without the constraint XLA's SPMD
+        # partitioner is free to re-shard step outputs per its own cost
+        # model, which drifts the param placement and inserts resharding
+        # collectives between steps.
+        tp_shardings = None
+        if self.mesh.shape.get("model", 1) > 1 and self.state is not None:
+            tp_shardings = jax.tree_util.tree_map(
+                lambda x: x.sharding, self.state)
+
+        def _pin(state: TrainState) -> TrainState:
+            if tp_shardings is None:
+                return state
+            return jax.tree_util.tree_map(
+                jax.lax.with_sharding_constraint, state, tp_shardings)
+
         def _train_body(state: TrainState, batch, raw_images, lr, key):
             kaug, kdrop, kmix = jax.random.split(key, 3)
             images = None
@@ -257,8 +286,8 @@ class Trainer:
                 finite = finite & jnp.stack(leaf_ok).all()
             skip = ~finite
 
-            state = apply_gradients(state, grads, lr, new_batch_stats=new_bs,
-                                    skip=skip)
+            state = _pin(apply_gradients(state, grads, lr,
+                                         new_batch_stats=new_bs, skip=skip))
             preds = jnp.argmax(logits, axis=-1)
             acc = jnp.mean((preds == batch["labels"]).astype(jnp.float32))
             metrics = {"loss": loss, "acc": acc,

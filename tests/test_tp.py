@@ -1,0 +1,180 @@
+"""Tensor-parallel ('model' mesh axis) tests.
+
+The reference has no parallelism (SURVEY.md §2.3); the 'model' axis is
+this framework's scale-out surface. These tests validate the Megatron
+decomposition on the virtual 8-device CPU mesh: spec rules, actual
+shard placement, and step-for-step numerical agreement with the
+data-parallel-only configuration.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jax.sharding import PartitionSpec as P
+
+from multimodal_rare_disease_tpu.config import resolve_config
+from multimodal_rare_disease_tpu.parallel.mesh import batch_sharding, create_mesh
+from multimodal_rare_disease_tpu.parallel.tp import tp_spec
+
+
+def test_tp_spec_rules():
+    H, h, d, I = 768, 12, 64, 3072
+    cases = [
+        (("params", "text_encoder", "bert", "layer0", "attention", "qkv",
+          "kernel"), (H, 3, h, d), P(None, None, "model", None)),
+        (("params", "text_encoder", "bert", "layer0", "attention", "qkv",
+          "bias"), (3, h, d), P(None, "model", None)),
+        (("params", "text_encoder", "bert", "layer0", "attention", "output",
+          "kernel"), (h, d, H), P("model", None, None)),
+        (("params", "text_encoder", "bert", "layer0", "intermediate",
+          "kernel"), (H, I), P(None, "model")),
+        (("params", "text_encoder", "bert", "layer0", "intermediate",
+          "bias"), (I,), P("model")),
+        (("params", "text_encoder", "bert", "layer0", "output", "kernel"),
+         (I, H), P("model", None)),
+        # attention output bias, LN, embeddings, pooler: replicated
+        (("params", "text_encoder", "bert", "layer0", "attention", "output",
+          "bias"), (H,), P()),
+        (("params", "text_encoder", "bert", "layer0", "output_ln", "scale"),
+         (H,), P()),
+        (("params", "text_encoder", "bert", "word_embeddings", "embedding"),
+         (28996, H), P()),
+        # conv kernels (rank 4, not a qkv path): replicated
+        (("params", "cnn_encoder", "backbone", "stage1", "block0", "conv1",
+          "kernel"), (1, 1, 64, 64), P()),
+        # fusion/head: replicated
+        (("params", "head", "dense0", "kernel"), (512, 256), P()),
+    ]
+    for path, shape, want in cases:
+        got = tp_spec(path, shape, model_size=2)
+        assert got == want, f"{path}: {got} != {want}"
+    # Adam moments match through their own prefix
+    assert tp_spec(("opt_state", "0", "mu", "text_encoder", "bert", "layer3",
+                    "intermediate", "kernel"), (H, I), 2) == P(None, "model")
+    # non-divisible dims replicate
+    assert tp_spec(("params", "text_encoder", "bert", "layer0",
+                    "intermediate", "kernel"), (H, 7), 2) == P()
+
+
+def _small_cfg(batch_size, **extra):
+    return resolve_config("default", {
+        **extra,
+        "data.image_size": 64,
+        "data.max_text_length": 16,
+        "data.online_rotation": False,
+        "text_encoder.num_layers": 2,
+        "text_encoder.num_heads": 2,
+        "text_encoder.hidden_size": 32,
+        "text_encoder.intermediate_size": 64,
+        "text_encoder.vocab_size": 4096,
+        "text_encoder.max_length": 16,
+        "fusion.text_proj_dim": 32,
+        "fusion.hidden_dim": 32,
+        "fusion.num_attention_heads": 2,
+        "cnn_encoder.embedding_dim": 32,
+        "classifier.hidden_dims": (32,),
+        "training.batch_size": batch_size,
+        "training.num_epochs": 1,
+        "training.compute_dtype": "float32",
+        "training.warmup_epochs": 0,
+    })
+
+
+def _batch(cfg, rng):
+    from multimodal_rare_disease_tpu.train.pipeline import STAGING_SIZE
+
+    B = cfg.training.batch_size
+    T = cfg.data.max_text_length
+    return {
+        "labels": rng.integers(0, 10, B).astype(np.int32),
+        "valid": np.ones(B, np.float32),
+        "images": rng.integers(0, 256, (B, STAGING_SIZE, STAGING_SIZE, 3),
+                               ).astype(np.uint8),
+        "input_ids": rng.integers(0, cfg.text_encoder.vocab_size,
+                                  (B, T)).astype(np.int32),
+        "attention_mask": np.ones((B, T), np.int32),
+    }
+
+
+def _run_steps(mesh_shape, n_steps=2):
+    from multimodal_rare_disease_tpu.train import Trainer
+
+    # SGD for the cross-mesh comparison: Adam's step-1 update is
+    # sign(g) elementwise, so the f32 reduction-order noise of the TP
+    # all-reduces (~1e-8) flips the update sign wherever g ~ 0 and the
+    # comparison becomes ill-conditioned. SGD keeps the noise linear.
+    cfg = _small_cfg(batch_size=8, **{"training.optimizer": "sgd",
+                                      "training.weight_decay": 0.0})
+    mesh = create_mesh(cfg, data_axis=mesh_shape[0], model_axis=mesh_shape[1])
+    trainer = Trainer(cfg, mode="multimodal", pipeline=None, mesh=mesh)
+    state = trainer.init_state()
+    trainer._build_steps()
+
+    rng = np.random.default_rng(7)
+    sh = batch_sharding(mesh)
+    losses = []
+    for i in range(n_steps):
+        placed = {k: jax.device_put(v, sh) for k, v in _batch(cfg, rng).items()}
+        state, metrics = trainer._train_step(
+            state, placed, jnp.asarray(1e-3, jnp.float32), jax.random.key(i))
+        losses.append(float(jax.device_get(metrics["loss"])))
+    return losses, state
+
+
+@pytest.mark.slow
+def test_tp_matches_data_parallel():
+    """2 train steps on mesh (4 data x 2 model) must match (8 data x 1):
+    same init seed, same batches, same losses and final params (modulo
+    f32 reduction-order noise from the TP all-reduces)."""
+    losses_dp, state_dp = _run_steps((8, 1))
+    losses_tp, state_tp = _run_steps((4, 2))
+
+    np.testing.assert_allclose(losses_tp, losses_dp, rtol=2e-5, atol=2e-6)
+
+    p_dp = jax.device_get(state_dp.params)
+    p_tp = jax.device_get(state_tp.params)
+    flat_dp = jax.tree_util.tree_leaves(p_dp)
+    flat_tp = jax.tree_util.tree_leaves(p_tp)
+    worst = max(float(np.max(np.abs(a - b)))
+                for a, b in zip(flat_dp, flat_tp))
+    assert worst < 1e-5, f"params diverged: max|d|={worst}"
+
+    # the TP state must actually be sharded over the model axis
+    # (specs compare via is_equivalent_to: JAX canonicalizes trailing
+    # Nones away, so literal spec equality is representation-fragile)
+    from jax.sharding import NamedSharding
+
+    mesh_tp = state_tp.params["text_encoder"]["bert"]["layer0"]["attention"][
+        "qkv"]["kernel"].sharding.mesh
+
+    def _expect(arr, spec):
+        want = NamedSharding(mesh_tp, spec)
+        assert arr.sharding.is_equivalent_to(want, arr.ndim), (
+            f"{arr.sharding.spec} != {spec}")
+
+    _expect(state_tp.params["text_encoder"]["bert"]["layer0"]["attention"][
+        "qkv"]["kernel"], P(None, None, "model", None))
+    _expect(state_tp.params["text_encoder"]["bert"]["layer0"][
+        "intermediate"]["kernel"], P(None, "model"))
+    # optimizer moments shard identically (the update stays local);
+    # SGD here → trace, Adam's mu/nu match through the same path tails
+    _expect(state_tp.opt_state[0].trace["text_encoder"]["bert"]["layer0"][
+        "intermediate"]["kernel"], P(None, "model"))
+
+
+@pytest.mark.slow
+def test_tp_eval_step():
+    """The jitted eval step runs on the TP mesh and counts every sample."""
+    from multimodal_rare_disease_tpu.train import Trainer
+
+    cfg = _small_cfg(batch_size=8)
+    mesh = create_mesh(cfg, data_axis=2, model_axis=4)
+    trainer = Trainer(cfg, mode="multimodal", pipeline=None, mesh=mesh)
+    state = trainer.init_state()
+    trainer._build_steps()
+    placed = {k: jax.device_put(v, batch_sharding(mesh))
+              for k, v in _batch(cfg, np.random.default_rng(3)).items()}
+    em = trainer._eval_step(state.params, state.batch_stats, placed)
+    assert float(jax.device_get(em["count"])) == 8.0
