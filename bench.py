@@ -93,7 +93,8 @@ def main() -> None:
     dtype = jnp.bfloat16
     model = create_model(cfg, mode="multimodal", dtype=dtype)
 
-    B, S = 256, 256
+    # BENCH_B: experiment override (driver contract stays batch 256)
+    B, S = int(os.environ.get("BENCH_B", "256")), 256
     images_np, ids_np, mask_np = _real_corpus_batch(cfg, B, S)
     T = ids_np.shape[1]
     images = jnp.asarray(images_np)
@@ -159,7 +160,8 @@ def main() -> None:
         },
     }
     try:
-        _CACHE.write_text(json.dumps(result))
+        if B == 256:  # don't let experiment overrides pollute the
+            _CACHE.write_text(json.dumps(result))  # watchdog fallback
     except OSError:
         pass
     _emit(result)
