@@ -165,6 +165,32 @@ def test_tp_matches_data_parallel():
 
 
 @pytest.mark.slow
+def test_tp_checkpoint_roundtrip(tmp_path):
+    """A TP-sharded state must save (host gather) and load back equal —
+    a model trained on a (d, m) mesh serves anywhere."""
+    from multimodal_rare_disease_tpu.train import Trainer
+    from multimodal_rare_disease_tpu.utils.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    cfg = _small_cfg(batch_size=8)
+    mesh = create_mesh(cfg, data_axis=4, model_axis=2)
+    trainer = Trainer(cfg, mode="multimodal", pipeline=None, mesh=mesh)
+    state = trainer.init_state()
+
+    path = tmp_path / "tp_ckpt"
+    save_checkpoint(path, state.params, state.batch_stats, step=0,
+                    meta={"cfg": "t"})
+    params, batch_stats, _ = load_checkpoint(path)
+    a = jax.tree_util.tree_leaves(jax.device_get(state.params))
+    b = jax.tree_util.tree_leaves(params)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+@pytest.mark.slow
 def test_tp_eval_step():
     """The jitted eval step runs on the TP mesh and counts every sample."""
     from multimodal_rare_disease_tpu.train import Trainer
