@@ -122,11 +122,16 @@ def bench(fn, p, ids, mask, tag):
     @jax.jit
     def run(p, ids, mask):
         def step(c, _):
-            ids2 = jnp.where(c > jnp.int32(2_000_000_000),
+            # the carry must have REAL data dependence on the forward's
+            # output (float * 1e-12), else XLA dead-code-eliminates the
+            # whole tower: an earlier `* 0` int carry measured 1.7 ms
+            # for the full 12-layer BERT (impossible; dot floor ~21 ms)
+            ids2 = jnp.where(c > jnp.float32(1e30),
                              jnp.zeros_like(ids), ids)
             out = fn(p, ids2, mask)
-            return jnp.max(out).astype(jnp.int32) * 0 + c, ()
-        tot, _ = jax.lax.scan(step, jnp.zeros((), jnp.int32), None, length=N)
+            return jnp.sum(out.astype(jnp.float32)) * 1e-12 + c, ()
+        tot, _ = jax.lax.scan(step, jnp.zeros((), jnp.float32), None,
+                              length=N)
         return tot
     int(run(p, ids, mask))
     ts = []
