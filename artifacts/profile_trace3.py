@@ -28,7 +28,11 @@ OUT = "/tmp/jax_trace3"
 
 
 def main():
-    cfg = resolve_config("default")
+    overrides = {}
+    if "MRD_FLAT" in os.environ:
+        overrides["text_encoder.flat_residual"] = \
+            os.environ["MRD_FLAT"] == "1"
+    cfg = resolve_config("default", overrides)
     dtype = jnp.bfloat16
     model = create_model(cfg, mode="multimodal", dtype=dtype)
     T = int(os.environ.get("BENCH_T", cfg.data.max_text_length))

@@ -6,8 +6,8 @@ descriptions (tokenized with the framework WordPiece tokenizer) → Pallas
 fused normalize → ResNet50 + BERT-base + cross-modal attention fusion →
 class probabilities, batch-256 streaming, bf16 compute. The text tower
 runs at the predictor's length bucket for this corpus (the descriptions
-tokenize to 75-95 tokens → bucket 96; masked pads make this bit-identical
-to padding at max_text_length=128 — see inference/predictor.py).
+tokenize to 75-95 tokens → bucket 128: a 96 bucket measured SLOWER than
+padding to the 128-lane-aligned length — see inference/predictor.py).
 
 Baseline target (BASELINE.json): >= 5,000 pairs/sec/chip on TPU v5e.
 The PyTorch reference publishes no throughput numbers at all (SURVEY.md §6)

@@ -237,11 +237,14 @@ class TextEncoderConfig:
     pre_layernorm: bool = False
     # Flat-2D residual stream: keep hidden as [B*T, H] between layers so
     # every FFN/projection dot is an unambiguous 2-D matmul. Numerically
-    # identical (pure reshapes; bit-exact on CPU). Matters at the T=96
-    # serving bucket, where a 3-D [B, T, H] stream makes XLA's layout
-    # assignment disagree with itself (relayout copies + FFN dots lowered
-    # as 37%-MFU convolutions — artifacts/PERF_R3.md lever 3).
-    flat_residual: bool = True
+    # identical (pure reshapes; bit-exact on CPU). Motivated by the T=96
+    # layout pathology (artifacts/PERF_R3.md lever 3) but MEASURED SLOWER
+    # on v5e: BERT-only 42.4 ms (flat) vs 40.2 ms (classic) at B=256/
+    # T=96 — the per-layer reshapes across the (B,T) boundary materialize
+    # relayout copies that cost more than the 2-D dots save, and the flat
+    # dots still run at only ~36-47% MFU (a [B*T/128, 128, H] re-chunked
+    # variant measured 48.0 vs 41.1 ms control — same story). Default OFF.
+    flat_residual: bool = False
 
 
 @dataclass(frozen=True)

@@ -43,11 +43,17 @@ _BATCH_BUCKETS = (1, 8, 32, 256)
 # Sequence-length buckets for the text tower. Attention masking makes
 # real-token outputs bit-identical regardless of trailing pad count
 # (pads get -inf scores -> exactly-0 probabilities), so serving a batch
-# at the smallest bucket >= its longest text is a pure win: the shipped
+# at the smallest FAST bucket >= its longest text wins: the shipped
 # clinical descriptions tokenize to 75-95 tokens, and the reference pads
 # every request to a fixed 128 (`src/predict.py:111-118`). Buckets are
 # clipped to cfg.data.max_text_length, which stays the truncation bound.
-_LENGTH_BUCKETS = (32, 64, 96, 128, 160, 192, 224, 256)
+# Only lane-aligned lengths (multiples of the 128-wide v5e vector lane)
+# plus T=64 are offered: a T=96 bucket MEASURED SLOWER than padding to
+# 128 (BERT-only 40.2 vs 36.6 ms at B=256) because T that doesn't fill
+# the 128-lane tile derails XLA layout assignment (relayout copies, FFN
+# dots lowered as ~37%-MFU convolutions — artifacts/PERF_R3.md); T=64
+# measured ~26% FASTER than T=128 (sublane-packable).
+_LENGTH_BUCKETS = (32, 64, 128, 256)
 
 
 class MultimodalPredictor:

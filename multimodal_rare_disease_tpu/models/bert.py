@@ -233,7 +233,7 @@ class BertEncoder(nn.Module):
     quantized: bool = False
     pre_ln: bool = False
     ln_barrier: bool = False
-    flat_residual: bool = True
+    flat_residual: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -363,7 +363,7 @@ class TextEncoder(nn.Module):
     quantized: bool = False
     pre_ln: bool = False
     ln_barrier: bool = False
-    flat_residual: bool = True
+    flat_residual: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -445,7 +445,7 @@ def create_text_encoder(
         fused_attention=cfg.fused_attention,
         quantized=cfg.quantized_inference,
         pre_ln=getattr(cfg, "pre_layernorm", False),
-        flat_residual=getattr(cfg, "flat_residual", True),
+        flat_residual=getattr(cfg, "flat_residual", False),
         dtype=dtype,
         param_dtype=param_dtype,
         name=name,
