@@ -35,6 +35,52 @@ Dtype = Any
 _HF_INIT = nn.initializers.normal(stddev=0.02)
 
 
+class ParamLayerNorm(nn.Module):
+    """nn.LayerNorm-compatible module (same param names/shapes/init, same
+    f32 fast-variance statistics) that can also hand out its raw
+    scale/bias so the fused Pallas FFN sublayer (ops/pallas/ffn.py) can
+    apply the normalization inside the kernel. Checkpoints are
+    interchangeable with nn.LayerNorm."""
+
+    epsilon: float = 1e-12
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, return_weights: bool = False):
+        H = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (H,),
+                           self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (H,),
+                          self.param_dtype)
+        if return_weights:
+            return scale, bias
+        # flax nn.LayerNorm semantics: f32 reductions, fast variance
+        # E[x^2]-E[x]^2 clipped at 0, scale folded into rsqrt.
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.maximum(
+            jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+            - jnp.square(mu), 0.0)
+        mul = jax.lax.rsqrt(var + np.float32(self.epsilon)) \
+            * scale.astype(jnp.float32)
+        y = (xf - mu) * mul + bias.astype(jnp.float32)
+        return y.astype(self.dtype)
+
+
+def _fused_ffn_engaged() -> bool:
+    """Trace-time gate for the fused FFN sublayer: engaged on a real TPU
+    with working Mosaic, or when tests force interpret mode."""
+    from multimodal_rare_disease_tpu.ops.pallas import ffn as _ffn
+    from multimodal_rare_disease_tpu.ops.pallas.capability import (
+        on_tpu, pallas_available,
+    )
+
+    if getattr(_ffn, "FORCE_INTERPRET", False):
+        return True
+    return on_tpu() and pallas_available()
+
+
 def _gelu_exact_erf(x: jnp.ndarray) -> jnp.ndarray:
     """Exact GELU via lax.erf: x/2 * (1 + erf(x/sqrt(2))).
 
@@ -138,6 +184,7 @@ class BertLayer(nn.Module):
     intermediate_size: int
     dropout: float
     fused_attention: bool = True
+    fused_ffn: bool = True
     quantized: bool = False
     pre_ln: bool = False
     ln_barrier: bool = False
@@ -158,12 +205,12 @@ class BertLayer(nn.Module):
         # the from-scratch trainability option: at 12x3072 on tiny
         # corpora the post-LN stack sits at the uniform-logits attractor
         # (docs/TRAINING.md scale cliff) while pre-LN descends.
-        ln_att = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype,
-                              param_dtype=self.param_dtype,
-                              name="attention_ln")
-        ln_out = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype,
-                              param_dtype=self.param_dtype,
-                              name="output_ln")
+        ln_att = ParamLayerNorm(epsilon=1e-12, dtype=self.dtype,
+                                param_dtype=self.param_dtype,
+                                name="attention_ln")
+        ln_out = ParamLayerNorm(epsilon=1e-12, dtype=self.dtype,
+                                param_dtype=self.param_dtype,
+                                name="output_ln")
 
         # Optional fusion barrier between each residual add and its
         # LayerNorm (identity on values and gradients). Hypothesis was
@@ -201,15 +248,47 @@ class BertLayer(nn.Module):
             hidden = ln_att(_fb(hidden + attn_out))
             ffn_in = hidden
 
-        inter = MaybeQuantDenseGeneral(
+        inter_mod = MaybeQuantDenseGeneral(
             self.intermediate_size, quantized=q8, dtype=self.dtype,
             param_dtype=self.param_dtype, kernel_init=_HF_INIT,
-            name="intermediate")(ffn_in)
-        inter = _gelu_exact_erf(inter)
-        out = MaybeQuantDenseGeneral(
+            name="intermediate")
+        out_mod = MaybeQuantDenseGeneral(
             self.hidden_size, quantized=q8, dtype=self.dtype,
             param_dtype=self.param_dtype, kernel_init=_HF_INIT,
-            name="output")(inter)
+            name="output")
+
+        from multimodal_rare_disease_tpu.ops.pallas import ffn as _ffn
+        from multimodal_rare_disease_tpu.ops.pallas.capability import on_tpu
+
+        M = int(np.prod(ffn_in.shape[:-1]))
+        use_fused_ffn = (
+            self.fused_ffn and not train and not q8 and not self.pre_ln
+            and not self.ln_barrier
+            and _ffn.ffn_ln_fusible(M, self.hidden_size,
+                                    self.intermediate_size)
+            and _fused_ffn_engaged())
+        if use_fused_ffn:
+            # Whole post-LN FFN sublayer in one Pallas kernel — the
+            # [M, intermediate] tensor never leaves VMEM and the
+            # residual+LN HBM pass disappears (~5 ms/step across the 12
+            # layers at B=256/T=128 on v5e — ops/pallas/ffn.py header).
+            # Params come from the SAME modules as the classic path
+            # (return_weights), so checkpoints are interchangeable and
+            # the tree is identical; dropout is deterministic-identity
+            # here (inference only).
+            w1, b1 = inter_mod(ffn_in, return_weights=True)
+            w2, b2 = out_mod(
+                jnp.zeros((1, self.intermediate_size), self.dtype),
+                return_weights=True)
+            gamma, beta = ln_out(ffn_in, return_weights=True)
+            y2 = _ffn.fused_ffn_ln(
+                ffn_in.reshape(M, self.hidden_size), w1, b1, w2, b2,
+                gamma, beta, eps=1e-12, interpret=not on_tpu())
+            hidden = y2.reshape(ffn_in.shape)
+            return hidden, probs
+
+        inter = _gelu_exact_erf(inter_mod(ffn_in))
+        out = out_mod(inter)
         out = nn.Dropout(rate=self.dropout)(out, deterministic=not train)
         if self.pre_ln:
             hidden = hidden + out
@@ -230,6 +309,7 @@ class BertEncoder(nn.Module):
     type_vocab_size: int = 2
     dropout: float = 0.1
     fused_attention: bool = True
+    fused_ffn: bool = True
     quantized: bool = False
     pre_ln: bool = False
     ln_barrier: bool = False
@@ -300,6 +380,7 @@ class BertEncoder(nn.Module):
             hidden, probs = BertLayer(
                 self.hidden_size, self.num_heads, self.intermediate_size,
                 self.dropout, fused_attention=self.fused_attention,
+                fused_ffn=self.fused_ffn,
                 quantized=self.quantized, pre_ln=self.pre_ln,
                 ln_barrier=self.ln_barrier,
                 dtype=self.dtype, param_dtype=self.param_dtype,
@@ -360,6 +441,7 @@ class TextEncoder(nn.Module):
     use_pooler_output: bool = False
     projection_dim: int = 0  # 0 = no projection (raw 768-d)
     fused_attention: bool = True
+    fused_ffn: bool = True
     quantized: bool = False
     pre_ln: bool = False
     ln_barrier: bool = False
@@ -378,6 +460,7 @@ class TextEncoder(nn.Module):
             type_vocab_size=self.type_vocab_size,
             dropout=self.bert_dropout,
             fused_attention=self.fused_attention,
+            fused_ffn=self.fused_ffn,
             quantized=self.quantized,
             pre_ln=self.pre_ln,
             ln_barrier=self.ln_barrier,
@@ -443,6 +526,7 @@ def create_text_encoder(
         use_pooler_output=cfg.use_pooler_output,
         projection_dim=projection_dim,
         fused_attention=cfg.fused_attention,
+        fused_ffn=getattr(cfg, "fused_ffn", True),
         quantized=cfg.quantized_inference,
         pre_ln=getattr(cfg, "pre_layernorm", False),
         flat_residual=getattr(cfg, "flat_residual", False),

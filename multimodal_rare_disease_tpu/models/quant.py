@@ -67,7 +67,11 @@ class MaybeQuantDenseGeneral(nn.Module):
     kernel_init: Any = nn.initializers.lecun_normal()
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, return_weights: bool = False):
+        """Apply the dense layer, or — with `return_weights=True` — just
+        create/fetch the params and return `(kernel_2d [K,N], bias [N])`
+        without computing, so fused Pallas sublayers (ops/pallas/ffn.py)
+        can consume the same checkpoint-compatible weights."""
         features = (self.features,) if isinstance(self.features, int) \
             else tuple(self.features)
         axis = (self.axis,) if isinstance(self.axis, int) else tuple(self.axis)
@@ -82,6 +86,8 @@ class MaybeQuantDenseGeneral(nn.Module):
         batch_shape = tuple(s for i, s in enumerate(x.shape) if i not in axis)
         K = int(np.prod(in_shape))
         N = int(np.prod(features))
+        if return_weights:
+            return kernel.reshape(K, N), bias.reshape(N)
         # axes in `axis` are contiguous trailing dims in all our uses
         x2 = x.reshape(batch_shape + (K,)).reshape(-1, K)
         w2 = kernel.reshape(K, N)

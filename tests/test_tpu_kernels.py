@@ -84,6 +84,33 @@ def test_fused_mha_compiled_matches_interpret_and_xla():
 
 
 @_SKIP
+def test_fused_ffn_ln_compiled_matches_interpret_and_reference():
+    from multimodal_rare_disease_tpu.ops.pallas.ffn import (
+        ffn_ln_reference, fused_ffn_ln)
+
+    rng = np.random.default_rng(3)
+    M, H, F = 512, 768, 3072
+    x = jnp.asarray(rng.normal(size=(M, H)) * 0.5, jnp.bfloat16)
+    w1 = jnp.asarray(rng.normal(size=(H, F)) * 0.03, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(F,)) * 0.01, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(F, H)) * 0.03, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(H,)) * 0.01, jnp.float32)
+    g = jnp.asarray(1.0 + rng.normal(size=(H,)) * 0.05, jnp.float32)
+    o = jnp.asarray(rng.normal(size=(H,)) * 0.01, jnp.float32)
+
+    compiled = np.asarray(
+        fused_ffn_ln(x, w1, b1, w2, b2, g, o), np.float32)
+    interp = np.asarray(
+        fused_ffn_ln(x, w1, b1, w2, b2, g, o, interpret=True), np.float32)
+    xla = np.asarray(
+        jax.jit(ffn_ln_reference)(x, w1, b1, w2, b2, g, o), np.float32)
+
+    scale = max(1.0, float(np.abs(xla).max()))
+    assert float(np.abs(compiled - interp).max()) / scale < 2e-2
+    assert float(np.abs(compiled - xla).max()) / scale < 2e-2
+
+
+@_SKIP
 def test_rotate_batch_on_tpu_finite_and_bounded():
     """rotate_batch is pure-XLA (3-shear pad+slice) but only ever runs
     compiled on TPU in production; sanity-pin its on-chip numerics
