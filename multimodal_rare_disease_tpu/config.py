@@ -230,6 +230,15 @@ class TextEncoderConfig:
     # Engages only on a real TPU with working Mosaic (capability probe);
     # CPU and training paths are untouched.
     fused_ffn: bool = True
+    # Pallas fused attention-output sublayer LN(x + ctx@wo + bo) at
+    # inference. OFF by default: the kernel itself runs at ~0.23 ms/layer
+    # (vs 0.437 classic) but forces the AV einsum output to materialize
+    # row-major for the custom call — XLA's einsum→out-proj dot fusion
+    # it displaces is worth more (+2.4 ms/step net at B=256/T=128 on
+    # v5e: artifacts/round3/profile_comp_t128_attnout.log — 1.9 ms of
+    # relayout copies + 2.5 ms of de-fused AV einsums). Kept as a tested
+    # capability for stacks whose ctx is already 2-D (e.g. flat stream).
+    fused_attn_out: bool = False
     # W8A8 dynamic int8 for the transformer's big matmuls at inference.
     # Off by default: measured SLOWER than bf16 on this stack (110.8 vs
     # 73.5 ms/256-batch on v5e — XLA does not map dynamic s8xs8 dots to

@@ -81,6 +81,18 @@ def _fused_ffn_engaged() -> bool:
     return on_tpu() and pallas_available()
 
 
+def _fused_attn_out_engaged() -> bool:
+    """Trace-time gate for the fused attention-output sublayer."""
+    from multimodal_rare_disease_tpu.ops.pallas import attn_out as _ao
+    from multimodal_rare_disease_tpu.ops.pallas.capability import (
+        on_tpu, pallas_available,
+    )
+
+    if getattr(_ao, "FORCE_INTERPRET", False):
+        return True
+    return on_tpu() and pallas_available()
+
+
 def _gelu_exact_erf(x: jnp.ndarray) -> jnp.ndarray:
     """Exact GELU via lax.erf: x/2 * (1 + erf(x/sqrt(2))).
 
@@ -110,7 +122,13 @@ class BertSelfAttention(nn.Module):
     @nn.compact
     def __call__(self, hidden, attention_bias, attention_mask=None,
                  train: bool = False, output_attentions: bool = False,
-                 cls_query_only: bool = False):
+                 cls_query_only: bool = False,
+                 return_unprojected: bool = False):
+        """With `return_unprojected=True` the module creates the same
+        output-projection params but returns `(ctx, wo, bo)` unapplied,
+        so BertLayer can run the fused attn-out+residual+LN Pallas
+        sublayer (ops/pallas/attn_out.py) on checkpoint-identical
+        weights."""
         from multimodal_rare_disease_tpu.models.quant import (
             MaybeQuantDenseGeneral,
         )
@@ -147,6 +165,33 @@ class BertSelfAttention(nn.Module):
             # identical to slicing the full output at [:, 0].
             q = q[:, :1]
 
+        # Lane-pad the attention core when T doesn't fill the 128-lane
+        # tile (the serving T=96 bucket): at T=96 XLA assigns the qkv
+        # dot a batch-major layout and the q/k/v extractions become 36
+        # materializing relayout copies at ~0.34 ms each — 13.7 ms/step
+        # of the 58 ms total (artifacts/round3/profile_comp_t96_classic
+        # .log). Padding K/V (and Q) up to the next 128 multiple runs
+        # the einsums on aligned shapes; padded keys carry a -1e9
+        # additive bias so exp(bias - max) underflows to exactly 0.0 in
+        # f32 — the softmax denominator and the AV contraction are
+        # bit-identical to the unpadded forward (padded V rows are
+        # zero), and padded query rows are sliced off. Inference-only:
+        # under train the probs-dropout RNG shape would change draws.
+        pad_t = 0
+        if (not train and not output_attentions and T % 128 != 0
+                and T > 64):
+            pad_t = 128 - T % 128
+            k = jnp.pad(k, ((0, 0), (0, pad_t), (0, 0), (0, 0)))
+            v = jnp.pad(v, ((0, 0), (0, pad_t), (0, 0), (0, 0)))
+            if not cls_query_only:
+                q = jnp.pad(q, ((0, 0), (0, pad_t), (0, 0), (0, 0)))
+            attention_bias = jnp.pad(attention_bias,
+                                     ((0, 0), (0, 0), (0, 0), (0, pad_t)),
+                                     constant_values=-1e9)
+            if attention_mask is not None:
+                attention_mask = jnp.pad(attention_mask,
+                                         ((0, 0), (0, pad_t)))
+
         use_pallas = (self.fused_attention and not train and not cls_query_only
                       and not output_attentions and attention_mask is not None)
         if use_pallas:
@@ -167,12 +212,18 @@ class BertSelfAttention(nn.Module):
             probs_dropped = nn.Dropout(rate=self.dropout)(
                 probs, deterministic=not train)
             ctx = jnp.einsum("bhts,bshd->bthd", probs_dropped, v)
+        if pad_t and not cls_query_only:
+            ctx = ctx[:, :T]  # drop the padded query rows
         if flat:
             ctx = ctx.reshape(B * ctx.shape[1], self.num_heads, d)
-        out = MaybeQuantDenseGeneral(
+        out_mod = MaybeQuantDenseGeneral(
             H, axis=(-2, -1), quantized=q8, dtype=self.dtype,
             param_dtype=self.param_dtype, kernel_init=_HF_INIT,
-            name="output")(ctx)
+            name="output")
+        if return_unprojected:
+            wo, bo = out_mod(ctx, return_weights=True)
+            return (ctx, wo, bo), probs
+        out = out_mod(ctx)
         if output_attentions:
             return out, probs
         return out, None
@@ -185,6 +236,7 @@ class BertLayer(nn.Module):
     dropout: float
     fused_attention: bool = True
     fused_ffn: bool = True
+    fused_attn_out: bool = False
     quantized: bool = False
     pre_ln: bool = False
     ln_barrier: bool = False
@@ -225,13 +277,29 @@ class BertLayer(nn.Module):
             return jax.lax.optimization_barrier(x) if self.ln_barrier else x
 
         q8 = self.quantized and not train
+        from multimodal_rare_disease_tpu.ops.pallas import attn_out as _ao
+        from multimodal_rare_disease_tpu.ops.pallas.capability import on_tpu
+
+        M_rows = int(np.prod(hidden.shape[:-1]))
+        # Fused attn-out+residual+LN Pallas sublayer (inference): one
+        # HBM pass instead of the dot-with-LN-stats-epilogue + separate
+        # normalize pass (0.437 -> ~0.30 ms/layer at B=256/T=128 on
+        # v5e — ops/pallas/attn_out.py header). Same param modules, so
+        # checkpoints are interchangeable.
+        use_fused_attnout = (
+            self.fused_attn_out and not train and not q8 and not self.pre_ln
+            and not self.ln_barrier and not cls_only
+            and not output_attentions
+            and _ao.attn_out_ln_fusible(M_rows, self.hidden_size)
+            and _fused_attn_out_engaged())
         attn_in = ln_att(_fb(hidden)) if self.pre_ln else hidden
         attn_out, probs = BertSelfAttention(
             self.hidden_size, self.num_heads, self.dropout,
             fused_attention=self.fused_attention, quantized=self.quantized,
             dtype=self.dtype, param_dtype=self.param_dtype, name="attention",
         )(attn_in, attention_bias, attention_mask=attention_mask, train=train,
-          output_attentions=output_attentions, cls_query_only=cls_only)
+          output_attentions=output_attentions, cls_query_only=cls_only,
+          return_unprojected=use_fused_attnout)
         if cls_only:
             # the rest of the layer (residual, LNs, FFN) runs on the CLS
             # position only — 1/T of the tokens (numerics unchanged)
@@ -240,13 +308,24 @@ class BertLayer(nn.Module):
                 hidden = hidden.reshape(B, -1, hidden.shape[-1])[:, 0]
             else:
                 hidden = hidden[:, :1]
-        attn_out = nn.Dropout(rate=self.dropout)(attn_out, deterministic=not train)
-        if self.pre_ln:
-            hidden = hidden + attn_out
-            ffn_in = ln_out(_fb(hidden))
-        else:
-            hidden = ln_att(_fb(hidden + attn_out))
+        if use_fused_attnout:
+            ctx, wo, bo = attn_out
+            gamma, beta = ln_att(hidden, return_weights=True)
+            h2 = _ao.fused_attn_out_ln(
+                ctx.reshape(M_rows, self.hidden_size),
+                hidden.reshape(M_rows, self.hidden_size),
+                wo, bo, gamma, beta, eps=1e-12, interpret=not on_tpu())
+            hidden = h2.reshape(hidden.shape)
             ffn_in = hidden
+        else:
+            attn_out = nn.Dropout(rate=self.dropout)(
+                attn_out, deterministic=not train)
+            if self.pre_ln:
+                hidden = hidden + attn_out
+                ffn_in = ln_out(_fb(hidden))
+            else:
+                hidden = ln_att(_fb(hidden + attn_out))
+                ffn_in = hidden
 
         inter_mod = MaybeQuantDenseGeneral(
             self.intermediate_size, quantized=q8, dtype=self.dtype,
@@ -310,6 +389,7 @@ class BertEncoder(nn.Module):
     dropout: float = 0.1
     fused_attention: bool = True
     fused_ffn: bool = True
+    fused_attn_out: bool = False
     quantized: bool = False
     pre_ln: bool = False
     ln_barrier: bool = False
@@ -381,6 +461,7 @@ class BertEncoder(nn.Module):
                 self.hidden_size, self.num_heads, self.intermediate_size,
                 self.dropout, fused_attention=self.fused_attention,
                 fused_ffn=self.fused_ffn,
+                fused_attn_out=self.fused_attn_out,
                 quantized=self.quantized, pre_ln=self.pre_ln,
                 ln_barrier=self.ln_barrier,
                 dtype=self.dtype, param_dtype=self.param_dtype,
@@ -442,6 +523,7 @@ class TextEncoder(nn.Module):
     projection_dim: int = 0  # 0 = no projection (raw 768-d)
     fused_attention: bool = True
     fused_ffn: bool = True
+    fused_attn_out: bool = False
     quantized: bool = False
     pre_ln: bool = False
     ln_barrier: bool = False
@@ -461,6 +543,7 @@ class TextEncoder(nn.Module):
             dropout=self.bert_dropout,
             fused_attention=self.fused_attention,
             fused_ffn=self.fused_ffn,
+            fused_attn_out=self.fused_attn_out,
             quantized=self.quantized,
             pre_ln=self.pre_ln,
             ln_barrier=self.ln_barrier,
@@ -527,6 +610,7 @@ def create_text_encoder(
         projection_dim=projection_dim,
         fused_attention=cfg.fused_attention,
         fused_ffn=getattr(cfg, "fused_ffn", True),
+        fused_attn_out=getattr(cfg, "fused_attn_out", False),
         quantized=cfg.quantized_inference,
         pre_ln=getattr(cfg, "pre_layernorm", False),
         flat_residual=getattr(cfg, "flat_residual", False),
