@@ -112,9 +112,11 @@ def main() -> None:
     # NOTE: over the axon tunnel, block_until_ready() does NOT synchronize
     # with device execution — only host readback does, and each call has
     # ~36 ms RTT. So: scan K batches inside ONE jit and read back a scalar,
-    # amortizing the RTT to ~2% of the measurement (K=24 ≈ 1.3 s per
-    # timed run at the current ~55 ms step).
-    K = 24
+    # amortizing the RTT into the steady-state throughput measurement
+    # (K=96 ≈ 5.3 s per timed run at the current ~55 ms step → the RTT
+    # contributes <0.4 ms/step; at K=24 it was still ~1.3 ms/step of
+    # non-throughput overhead in the reported number).
+    K = 96
 
     @jax.jit
     def predict_stream(variables, images_u8, input_ids, attention_mask):

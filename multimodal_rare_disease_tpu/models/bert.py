@@ -416,8 +416,6 @@ class BertEncoder(nn.Module):
         B, T = input_ids.shape
         cls_only_final = (cls_only_final and not output_hidden_states
                           and not output_attentions)
-        if token_type_ids is None:
-            token_type_ids = jnp.zeros_like(input_ids)
         positions = jnp.arange(T)[None, :]
 
         word = nn.Embed(self.vocab_size, self.hidden_size,
@@ -426,9 +424,18 @@ class BertEncoder(nn.Module):
         pos = nn.Embed(self.max_position_embeddings, self.hidden_size,
                        param_dtype=self.param_dtype, dtype=self.dtype,
                        embedding_init=_HF_INIT, name="position_embeddings")(positions)
-        seg = nn.Embed(self.type_vocab_size, self.hidden_size,
-                       param_dtype=self.param_dtype, dtype=self.dtype,
-                       embedding_init=_HF_INIT, name="token_type_embeddings")(token_type_ids)
+        seg_mod = nn.Embed(self.type_vocab_size, self.hidden_size,
+                           param_dtype=self.param_dtype, dtype=self.dtype,
+                           embedding_init=_HF_INIT,
+                           name="token_type_embeddings")
+        if token_type_ids is None:
+            # single-segment fast path: every position embeds row 0, so
+            # look up one row and broadcast instead of a [B*T]-row gather
+            # (the gather of a constant-0 index tensor measured 0.166
+            # ms/step at B=256/T=128 on v5e — profile_comp_t128.log)
+            seg = seg_mod(jnp.zeros((1, 1), jnp.int32))
+        else:
+            seg = seg_mod(token_type_ids)
         hidden = word + pos + seg
         hidden = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype,
                               param_dtype=self.param_dtype,

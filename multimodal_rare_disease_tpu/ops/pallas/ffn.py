@@ -64,18 +64,34 @@ def _gelu_f32(xf):
 
 
 def _ffn_ln_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, o_ref,
-                   y_ref, *, eps: float):
-    x = x_ref[...]
-    h = jax.lax.dot_general(x, w1_ref[...], (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    h = _gelu_f32(h + b1_ref[...]).astype(x.dtype)
-    y = jax.lax.dot_general(h, w2_ref[...], (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    z = y + b2_ref[...] + x.astype(jnp.float32)
-    mu = jnp.mean(z, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(z - mu), axis=-1, keepdims=True)
-    zn = (z - mu) * jax.lax.rsqrt(var + np.float32(eps))
-    y_ref[...] = (zn * g_ref[...] + o_ref[...]).astype(y_ref.dtype)
+                   y_ref, *, eps: float, splits: int):
+    """Stage-staggered over `splits` row-chunks: all dot1s issue first,
+    then the gelu→dot2 chain walks chunk by chunk, then the LN+store
+    pass — so each chunk's VPU work (gelu, LN) can retire under another
+    chunk's MXU dots instead of serializing against them. Bit-identical
+    to the monolithic form (pure reordering of row-independent work);
+    measured 2.79 vs 2.89-3.10 ms/layer at splits=8/TM=512 on v5e
+    (artifacts/round3/ffn_stagger.log)."""
+    tm = x_ref.shape[0]
+    s = tm // splits
+    w1 = w1_ref[...]
+    w2 = w2_ref[...]
+    xs = [x_ref[i * s:(i + 1) * s] for i in range(splits)]
+    hs = [jax.lax.dot_general(x, w1, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+          for x in xs]
+    ys = []
+    for i in range(splits):
+        h = _gelu_f32(hs[i] + b1_ref[...]).astype(x_ref.dtype)
+        ys.append(jax.lax.dot_general(h, w2, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32))
+    for i in range(splits):
+        z = ys[i] + b2_ref[...] + xs[i].astype(jnp.float32)
+        mu = jnp.mean(z, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(z - mu), axis=-1, keepdims=True)
+        zn = (z - mu) * jax.lax.rsqrt(var + np.float32(eps))
+        y_ref[i * s:(i + 1) * s] = \
+            (zn * g_ref[...] + o_ref[...]).astype(y_ref.dtype)
 
 
 @functools.partial(jax.jit,
@@ -84,10 +100,13 @@ def _fused_ffn_ln_impl(x, w1, b1, w2, b2, gamma, beta, *, eps: float,
                        block_rows: int, interpret: bool):
     m, H = x.shape
     F = w1.shape[1]
+    # 64-row stagger chunks (>= one f32 sublane tile x8); fall back to
+    # the monolithic form for small tiles
+    splits = max(1, min(8, block_rows // 64))
     const = lambda *s: pl.BlockSpec(s, lambda i: (0,) * len(s),
                                     memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_ffn_ln_kernel, eps=eps),
+        functools.partial(_ffn_ln_kernel, eps=eps, splits=splits),
         grid=(m // block_rows,),
         in_specs=[pl.BlockSpec((block_rows, H), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
