@@ -69,16 +69,27 @@ def main():
     S = cfg.data.image_size
 
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(size=(B, S, S, 3)), dtype)
+    # MRD_PREPROC=1: profile the full bench-equivalent step including
+    # eval_preprocess (u8 256x256 -> resample 224 -> normalize)
+    preproc = os.environ.get("MRD_PREPROC") == "1"
+    if preproc:
+        from multimodal_rare_disease_tpu.ops.preprocess import eval_preprocess
+        x = jnp.asarray(rng.integers(0, 256, (B, 256, 256, 3)), jnp.uint8)
+        x0 = eval_preprocess(x[:1], cfg, dtype=dtype)
+    else:
+        x = jnp.asarray(rng.normal(size=(B, S, S, 3)), dtype)
+        x0 = x[:1]
     ids = jnp.asarray(rng.integers(0, cfg.text_encoder.vocab_size, (B, T),
                                    dtype=np.int32))
     mask = jnp.ones((B, T), jnp.int32)
-    variables = model.init(jax.random.key(0), x[:1], ids[:1], mask[:1],
+    variables = model.init(jax.random.key(0), x0, ids[:1], mask[:1],
                            train=False)
     variables = jax.tree_util.tree_map(
         lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, variables)
 
     def step(v, x, ids, mask):
+        if preproc:
+            x = eval_preprocess(x, cfg, dtype=dtype)
         return jnp.sum(model.apply(v, x, ids, mask, train=False)["probs"])
 
     compiled = jax.jit(step).lower(variables, x, ids, mask).compile()

@@ -308,6 +308,22 @@ class BertLayer(nn.Module):
                 hidden = hidden.reshape(B, -1, hidden.shape[-1])[:, 0]
             else:
                 hidden = hidden[:, :1]
+        from multimodal_rare_disease_tpu.ops.pallas import ffn as _ffn
+
+        # The post-LN fused-FFN kernel can absorb the attention
+        # LayerNorm as an in-kernel input LN (ops/pallas/ffn.py
+        # _ffn_pre_ln_kernel) — decide the FFN dispatch BEFORE applying
+        # ln_att so its separate HBM normalize pass (0.156 ms/layer at
+        # B=256/T=128, profile_comp_t128.log) can be skipped entirely.
+        M_ffn = int(np.prod(hidden.shape[:-1]))
+        use_fused_ffn = (
+            self.fused_ffn and not train and not q8 and not self.pre_ln
+            and not self.ln_barrier
+            and _ffn.ffn_ln_fusible(M_ffn, self.hidden_size,
+                                    self.intermediate_size)
+            and _fused_ffn_engaged())
+
+        ln0_weights = None
         if use_fused_attnout:
             ctx, wo, bo = attn_out
             gamma, beta = ln_att(hidden, return_weights=True)
@@ -323,6 +339,11 @@ class BertLayer(nn.Module):
             if self.pre_ln:
                 hidden = hidden + attn_out
                 ffn_in = ln_out(_fb(hidden))
+            elif use_fused_ffn:
+                # hand the UNNORMALIZED residual to the kernel; ln_att's
+                # params are created identically (return_weights)
+                ffn_in = hidden + attn_out
+                ln0_weights = ln_att(ffn_in, return_weights=True)
             else:
                 hidden = ln_att(_fb(hidden + attn_out))
                 ffn_in = hidden
@@ -336,16 +357,7 @@ class BertLayer(nn.Module):
             param_dtype=self.param_dtype, kernel_init=_HF_INIT,
             name="output")
 
-        from multimodal_rare_disease_tpu.ops.pallas import ffn as _ffn
-        from multimodal_rare_disease_tpu.ops.pallas.capability import on_tpu
-
         M = int(np.prod(ffn_in.shape[:-1]))
-        use_fused_ffn = (
-            self.fused_ffn and not train and not q8 and not self.pre_ln
-            and not self.ln_barrier
-            and _ffn.ffn_ln_fusible(M, self.hidden_size,
-                                    self.intermediate_size)
-            and _fused_ffn_engaged())
         if use_fused_ffn:
             # Whole post-LN FFN sublayer in one Pallas kernel — the
             # [M, intermediate] tensor never leaves VMEM and the
@@ -360,9 +372,12 @@ class BertLayer(nn.Module):
                 jnp.zeros((1, self.intermediate_size), self.dtype),
                 return_weights=True)
             gamma, beta = ln_out(ffn_in, return_weights=True)
+            pre_g, pre_b = ln0_weights if ln0_weights is not None \
+                else (None, None)
             y2 = _ffn.fused_ffn_ln(
                 ffn_in.reshape(M, self.hidden_size), w1, b1, w2, b2,
-                gamma, beta, eps=1e-12, interpret=not on_tpu())
+                gamma, beta, eps=1e-12, interpret=not on_tpu(),
+                pre_gamma=pre_g, pre_beta=pre_b)
             hidden = y2.reshape(ffn_in.shape)
             return hidden, probs
 

@@ -63,6 +63,43 @@ def _gelu_f32(xf):
     return 0.5 * xf * (1.0 + _erf_poly_f32(xf * _SQRT1_2))
 
 
+def _ln_f32(z, g, o, eps):
+    mu = jnp.mean(z, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(z - mu), axis=-1, keepdims=True)
+    return (z - mu) * jax.lax.rsqrt(var + np.float32(eps)) * g + o
+
+
+def _ffn_pre_ln_kernel(z_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, o_ref,
+                       g0_ref, o0_ref, y_ref, *, eps: float, splits: int):
+    """Post-LN BERT FFN sublayer taking the UNNORMALIZED attention
+    residual z: y = LN2(h + gelu(h@w1+b1)@w2 + b2), h = LN0(z). Folding
+    the attention LayerNorm into the kernel removes its separate
+    normalize pass over the [M,H] stream in HBM (0.156 ms/layer at
+    B=256/T=128 on v5e, profile_comp_t128.log 'attention_ln'); the LN0
+    VPU work hides under other chunks' MXU dots like the gelu does."""
+    tm = z_ref.shape[0]
+    s = tm // splits
+    w1 = w1_ref[...]
+    w2 = w2_ref[...]
+    xs = []
+    hs = []
+    for i in range(splits):
+        x = _ln_f32(z_ref[i * s:(i + 1) * s].astype(jnp.float32),
+                    g0_ref[...], o0_ref[...], eps).astype(z_ref.dtype)
+        xs.append(x)
+        hs.append(jax.lax.dot_general(x, w1, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32))
+    ys = []
+    for i in range(splits):
+        h = _gelu_f32(hs[i] + b1_ref[...]).astype(z_ref.dtype)
+        ys.append(jax.lax.dot_general(h, w2, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32))
+    for i in range(splits):
+        z = ys[i] + b2_ref[...] + xs[i].astype(jnp.float32)
+        zn = _ln_f32(z, g_ref[...], o_ref[...], eps)
+        y_ref[i * s:(i + 1) * s] = zn.astype(y_ref.dtype)
+
+
 def _ffn_ln_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, o_ref,
                    y_ref, *, eps: float, splits: int):
     """Stage-staggered over `splits` row-chunks: all dot1s issue first,
@@ -121,6 +158,31 @@ def _fused_ffn_ln_impl(x, w1, b1, w2, b2, gamma, beta, *, eps: float,
     )(x, w1, b1, w2, b2, gamma, beta)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("eps", "block_rows", "interpret"))
+def _fused_ffn_pre_ln_impl(z, w1, b1, w2, b2, gamma, beta, g0, o0, *,
+                           eps: float, block_rows: int, interpret: bool):
+    m, H = z.shape
+    F = w1.shape[1]
+    splits = max(1, min(8, block_rows // 64))
+    const = lambda *s: pl.BlockSpec(s, lambda i: (0,) * len(s),
+                                    memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_ffn_pre_ln_kernel, eps=eps, splits=splits),
+        grid=(m // block_rows,),
+        in_specs=[pl.BlockSpec((block_rows, H), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  const(H, F), const(1, F), const(F, H), const(1, H),
+                  const(1, H), const(1, H), const(1, H), const(1, H)],
+        out_specs=pl.BlockSpec((block_rows, H), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, H), z.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 << 20),
+        interpret=interpret,
+    )(z, w1, b1, w2, b2, gamma, beta, g0, o0)
+
+
 def ffn_ln_fusible(m: int, hidden: int, intermediate: int) -> bool:
     """Shape gate: the kernel wants lane-aligned H/F and at least one
     full sublane tile of rows; anything else takes the XLA path."""
@@ -138,15 +200,32 @@ def _pick_block_rows(m: int) -> int:
 def fused_ffn_ln(x2d: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
                  w2: jnp.ndarray, b2: jnp.ndarray, gamma: jnp.ndarray,
                  beta: jnp.ndarray, eps: float = 1e-12,
-                 interpret: bool = False) -> jnp.ndarray:
+                 interpret: bool = False,
+                 pre_gamma: jnp.ndarray = None,
+                 pre_beta: jnp.ndarray = None) -> jnp.ndarray:
     """x2d [M, H]; w1 [H, F]; b1 [F]; w2 [F, H]; b2/gamma/beta [H]
     → LN(x + gelu(x @ w1 + b1) @ w2 + b2) as [M, H] in x2d.dtype.
+
+    With `pre_gamma`/`pre_beta`, x2d is the UNNORMALIZED attention
+    residual z and the kernel applies the attention LayerNorm first:
+    h = LN0(z); → LN(h + gelu(h @ w1 + b1) @ w2 + b2). This folds the
+    post-LN BERT layer's second LN into the same kernel, removing its
+    separate HBM normalize pass.
 
     Weights are consumed in x2d's compute dtype (matching the classic
     MaybeQuantDenseGeneral path); biases/LN params promote to f32.
     """
     dt = x2d.dtype
     f32 = jnp.float32
+    if pre_gamma is not None:
+        return _fused_ffn_pre_ln_impl(
+            x2d, w1.astype(dt), b1.astype(f32).reshape(1, -1),
+            w2.astype(dt), b2.astype(f32).reshape(1, -1),
+            gamma.astype(f32).reshape(1, -1),
+            beta.astype(f32).reshape(1, -1),
+            pre_gamma.astype(f32).reshape(1, -1),
+            pre_beta.astype(f32).reshape(1, -1), eps=eps,
+            block_rows=_pick_block_rows(x2d.shape[0]), interpret=interpret)
     return _fused_ffn_ln_impl(
         x2d, w1.astype(dt), b1.astype(f32).reshape(1, -1), w2.astype(dt),
         b2.astype(f32).reshape(1, -1), gamma.astype(f32).reshape(1, -1),
