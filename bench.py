@@ -113,10 +113,12 @@ def main() -> None:
     # with device execution — only host readback does, and each call has
     # ~36 ms RTT. So: scan K batches inside ONE jit and read back a scalar,
     # amortizing the RTT into the steady-state throughput measurement
-    # (K=96 ≈ 5.3 s per timed run at the current ~55 ms step → the RTT
-    # contributes <0.4 ms/step; at K=24 it was still ~1.3 ms/step of
+    # (K=192 ≈ 10 s per timed run at the current ~52 ms step → the RTT
+    # contributes <0.2 ms/step; at K=24 it was still ~1.3 ms/step of
     # non-throughput overhead in the reported number).
-    K = 96
+    # Cap the K-fold input broadcast at ~6 GB of HBM (B=512 at K=192
+    # would materialize 19 GB of u8 images and OOM the 16 GB chip).
+    K = max(24, min(192, int(6e9 // (B * S * S * 3))))
 
     @jax.jit
     def predict_stream(variables, images_u8, input_ids, attention_mask):

@@ -149,21 +149,40 @@ class BertSelfAttention(nn.Module):
         # fused QKV: one [H, 3, h, d] matmul instead of three [H, h, d]
         # (better MXU utilization; HF q/k/v weights concat into this kernel
         # at conversion time, models/convert.py)
-        qkv = MaybeQuantDenseGeneral((3, self.num_heads, d), axis=-1,
-                                     quantized=q8,
-                                     dtype=self.dtype,
-                                     param_dtype=self.param_dtype,
-                                     kernel_init=_HF_INIT,
-                                     name="qkv")(hidden)  # [B,T,3,h,d]
-        if flat:
-            qkv = qkv.reshape(B, T, 3, self.num_heads, d)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        if cls_query_only:
+        qkv_mod = MaybeQuantDenseGeneral((3, self.num_heads, d), axis=-1,
+                                         quantized=q8,
+                                         dtype=self.dtype,
+                                         param_dtype=self.param_dtype,
+                                         kernel_init=_HF_INIT,
+                                         name="qkv")
+        hd = self.num_heads * d
+        if cls_query_only and not q8:
             # final-layer fast path: only the CLS position is consumed
-            # downstream, so restrict the query to position 0 (K/V stay
-            # full — CLS attends over the whole sequence). Numerically
-            # identical to slicing the full output at [:, 0].
-            q = q[:, :1]
+            # downstream, so compute Q for position 0 only and K/V for
+            # the full sequence — skips (T-1)/T of the Q projection
+            # (~0.2 ms/step at B=256/T=128). Same params via
+            # return_weights ([H, 3*h*d] row-major = Q block first);
+            # same dtype-dot semantics as the module's own path, so
+            # numerically identical to slicing the fused output.
+            w2d, b_all = qkv_mod(hidden, return_weights=True)
+            h2 = hidden if flat else hidden.reshape(B * T, H)
+            cls_rows = h2[::T] if flat else hidden[:, 0]
+            dt = self.dtype
+            q = (jnp.dot(cls_rows.astype(dt), w2d[:, :hd].astype(dt))
+                 + b_all[:hd].astype(dt)).reshape(B, 1, self.num_heads, d)
+            kv = (jnp.dot(h2.astype(dt), w2d[:, hd:].astype(dt))
+                  + b_all[hd:].astype(dt)).reshape(B, T, 2,
+                                                   self.num_heads, d)
+            k, v = kv[:, :, 0], kv[:, :, 1]
+        else:
+            qkv = qkv_mod(hidden)  # [B,T,3,h,d]
+            if flat:
+                qkv = qkv.reshape(B, T, 3, self.num_heads, d)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            if cls_query_only:
+                # quantized fallback: restrict the query to position 0
+                # (numerically identical to slicing the full output)
+                q = q[:, :1]
 
         # Lane-pad the attention core when T doesn't fill the 128-lane
         # tile (the serving T=96 bucket): at T=96 XLA assigns the qkv
