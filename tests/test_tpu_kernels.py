@@ -111,6 +111,85 @@ def test_fused_ffn_ln_compiled_matches_interpret_and_reference():
 
 
 @_SKIP
+def test_fused_ffn_pre_ln_compiled_matches_interpret():
+    """The round-3 pre-LN form: h = LN0(z) inside the kernel."""
+    from multimodal_rare_disease_tpu.ops.pallas.ffn import fused_ffn_ln
+
+    rng = np.random.default_rng(4)
+    M, H, F = 512, 768, 3072
+    z = jnp.asarray(rng.normal(size=(M, H)) * 0.5, jnp.bfloat16)
+    w1 = jnp.asarray(rng.normal(size=(H, F)) * 0.03, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(F,)) * 0.01, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(F, H)) * 0.03, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(H,)) * 0.01, jnp.float32)
+    g = jnp.asarray(1.0 + rng.normal(size=(H,)) * 0.05, jnp.float32)
+    o = jnp.asarray(rng.normal(size=(H,)) * 0.01, jnp.float32)
+    g0 = jnp.asarray(1.0 + rng.normal(size=(H,)) * 0.05, jnp.float32)
+    o0 = jnp.asarray(rng.normal(size=(H,)) * 0.01, jnp.float32)
+
+    kw = dict(pre_gamma=g0, pre_beta=o0)
+    compiled = np.asarray(
+        fused_ffn_ln(z, w1, b1, w2, b2, g, o, **kw), np.float32)
+    interp = np.asarray(
+        fused_ffn_ln(z, w1, b1, w2, b2, g, o, interpret=True, **kw),
+        np.float32)
+    scale = max(1.0, float(np.abs(interp).max()))
+    assert float(np.abs(compiled - interp).max()) / scale < 2e-2
+
+
+@_SKIP
+def test_fused_attn_out_ln_compiled_matches_interpret_and_reference():
+    from multimodal_rare_disease_tpu.ops.pallas.attn_out import (
+        attn_out_ln_reference, fused_attn_out_ln)
+
+    rng = np.random.default_rng(5)
+    M, H = 512, 768
+    ctx = jnp.asarray(rng.normal(size=(M, H)) * 0.5, jnp.bfloat16)
+    x = jnp.asarray(rng.normal(size=(M, H)) * 0.5, jnp.bfloat16)
+    wo = jnp.asarray(rng.normal(size=(H, H)) * 0.03, jnp.float32)
+    bo = jnp.asarray(rng.normal(size=(H,)) * 0.01, jnp.float32)
+    g = jnp.asarray(1.0 + rng.normal(size=(H,)) * 0.05, jnp.float32)
+    o = jnp.asarray(rng.normal(size=(H,)) * 0.01, jnp.float32)
+
+    compiled = np.asarray(
+        fused_attn_out_ln(ctx, x, wo, bo, g, o), np.float32)
+    interp = np.asarray(
+        fused_attn_out_ln(ctx, x, wo, bo, g, o, interpret=True), np.float32)
+    xla = np.asarray(
+        jax.jit(attn_out_ln_reference)(ctx, x, wo, bo, g, o), np.float32)
+    scale = max(1.0, float(np.abs(xla).max()))
+    assert float(np.abs(compiled - interp).max()) / scale < 2e-2
+    assert float(np.abs(compiled - xla).max()) / scale < 2e-2
+
+
+@_SKIP
+def test_attention_lane_padding_exact_on_chip():
+    """The T=96 lane-pad must be BIT-identical to tokenizer-level
+    padding to 128 under the compiled bf16 graph too."""
+    from multimodal_rare_disease_tpu.models.bert import BertEncoder
+
+    rng = np.random.default_rng(6)
+    B, T = 8, 96
+    enc = BertEncoder(vocab_size=200, hidden_size=768, num_layers=2,
+                      num_heads=12, intermediate_size=3072,
+                      max_position_embeddings=256, fused_attention=False,
+                      dtype=jnp.bfloat16)
+    ids = np.asarray(rng.integers(1, 200, (B, T)), np.int32)
+    lens = rng.integers(70, T + 1, size=(B, 1))
+    mask = (np.arange(T)[None] < lens).astype(np.int32)
+    v = enc.init(jax.random.key(0), jnp.asarray(ids), jnp.asarray(mask))
+    a = np.asarray(jax.jit(lambda v, i, m: enc.apply(v, i, m)["cls"])(
+        v, jnp.asarray(ids), jnp.asarray(mask)), np.float32)
+    ids128 = np.zeros((B, 128), np.int32)
+    ids128[:, :T] = ids
+    mask128 = np.zeros((B, 128), np.int32)
+    mask128[:, :T] = mask
+    b = np.asarray(jax.jit(lambda v, i, m: enc.apply(v, i, m)["cls"])(
+        v, jnp.asarray(ids128), jnp.asarray(mask128)), np.float32)
+    np.testing.assert_array_equal(a, b)
+
+
+@_SKIP
 def test_rotate_batch_on_tpu_finite_and_bounded():
     """rotate_batch is pure-XLA (3-shear pad+slice) but only ever runs
     compiled on TPU in production; sanity-pin its on-chip numerics
