@@ -5,9 +5,12 @@ corpus workload: the shipped 256x256 face PNGs and their clinical
 descriptions (tokenized with the framework WordPiece tokenizer) → Pallas
 fused normalize → ResNet50 + BERT-base + cross-modal attention fusion →
 class probabilities, batch-256 streaming, bf16 compute. The text tower
-runs at the predictor's length bucket for this corpus (the descriptions
-tokenize to 75-95 tokens → bucket 128: a 96 bucket measured SLOWER than
-padding to the 128-lane-aligned length — see inference/predictor.py).
+runs exactly as the predictor serves this corpus: sequence-PACKED when
+the packed token count beats the length bucket by >15%
+(inference/packing.py — the 75-95-token descriptions pack ~2.7 docs per
+256-token row, ~30% fewer tokens/doc than the 128 bucket), classic
+bucketed rows otherwise. Outputs match the unpacked forward up to f32
+summation order (tests/test_packing.py).
 
 Baseline target (BASELINE.json): >= 5,000 pairs/sec/chip on TPU v5e.
 The PyTorch reference publishes no throughput numbers at all (SURVEY.md §6)
@@ -101,6 +104,21 @@ def main() -> None:
     ids = jnp.asarray(ids_np)
     mask = jnp.asarray(mask_np)
 
+    # mirror the predictor's packing decision (inference/packing.py)
+    from multimodal_rare_disease_tpu.inference.packing import (
+        pack_texts, packing_wins,
+    )
+
+    lens = mask_np.sum(axis=1)
+    cap = max(256, -(-int(lens.max()) // 128) * 128)
+    packed = (os.environ.get("BENCH_PACKED", "1") == "1"
+              and packing_wins(lens, T, capacity=cap))
+    if packed:
+        pb = pack_texts(ids_np, mask_np, capacity=cap)
+        packed_args = tuple(jnp.asarray(a) for a in (
+            pb.input_ids, pb.position_ids, pb.segment_ids,
+            pb.query_positions, pb.doc_row, pb.doc_slot))
+
     variables = model.init(jax.random.key(0),
                            eval_preprocess(images[:1], cfg, dtype=dtype),
                            ids[:1], mask[:1], train=False)
@@ -133,17 +151,41 @@ def main() -> None:
             (images_u8, input_ids, attention_mask))
         return total
 
+    @jax.jit
+    def predict_stream_packed(variables, images_u8, packed_k):
+        # packed text arrays are scanned alongside the images — as
+        # loop-invariants XLA would hoist the whole text tower out of
+        # the K-loop and the number would be fiction (first run of
+        # artifacts/bench_packed.py measured exactly that: 23 ms)
+        def body(carry, xs):
+            img, pk = xs
+            x = eval_preprocess(img, cfg, dtype=dtype)
+            out = model.apply(variables, x, *pk, method="packed_forward")
+            return carry + jnp.sum(out["probs"]), ()
+
+        total, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
+                                (images_u8, packed_k))
+        return total
+
     imgs_k = jnp.broadcast_to(images, (K,) + images.shape)
-    ids_k = jnp.broadcast_to(ids, (K,) + ids.shape)
-    mask_k = jnp.broadcast_to(mask, (K,) + mask.shape)
+    if packed:
+        packed_k = tuple(jnp.broadcast_to(a, (K,) + a.shape)
+                         for a in packed_args)
+        run = lambda: float(predict_stream_packed(
+            variables, imgs_k, packed_k))
+    else:
+        ids_k = jnp.broadcast_to(ids, (K,) + ids.shape)
+        mask_k = jnp.broadcast_to(mask, (K,) + mask.shape)
+        run = lambda: float(predict_stream(
+            variables, imgs_k, ids_k, mask_k))
 
     # warmup / compile (forced to completion by scalar readback)
-    float(predict_stream(variables, imgs_k, ids_k, mask_k))
+    run()
 
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
-        float(predict_stream(variables, imgs_k, ids_k, mask_k))
+        run()
         times.append(time.perf_counter() - t0)
     p50 = float(np.median(times))
     pairs_per_sec = (K * B) / p50
@@ -159,6 +201,9 @@ def main() -> None:
             "p50_batch_latency_ms": round(p50_batch_ms, 2),
             "image_size": cfg.data.image_size,
             "text_tokens": T,
+            "text_packing": (f"{B} docs in {pb.num_rows} x {cap} rows "
+                             f"({pb.tokens_per_doc:.0f} tok/doc)"
+                             if packed else "off"),
             "dtype": "bfloat16",
             "device": str(jax.devices()[0]),
         },

@@ -96,6 +96,17 @@ class MultimodalPredictor:
 
         self._forward = jax.jit(forward, static_argnums=(5,))
 
+        def forward_packed(params, batch_stats, images, input_ids,
+                           position_ids, segment_ids, query_positions,
+                           doc_row, doc_slot):
+            x = eval_preprocess(images, cfg, use_pallas=True)
+            return self.model.apply(
+                {"params": params, "batch_stats": batch_stats}, x,
+                input_ids, position_ids, segment_ids, query_positions,
+                doc_row, doc_slot, method="packed_forward")
+
+        self._forward_packed = jax.jit(forward_packed)
+
     # -- input preparation -------------------------------------------------
 
     def _prep_images(self, images: Sequence[ImageLike], n: int) -> np.ndarray:
@@ -174,9 +185,46 @@ class MultimodalPredictor:
             ids = np.zeros((B, 1), np.int32)
             mask = np.ones((B, 1), np.int32)
 
-        out = self._forward(self.params, self.batch_stats,
-                            jnp.asarray(imgs), jnp.asarray(ids),
-                            jnp.asarray(mask), return_embeddings)
+        out = None
+        if (self.mode == "multimodal" and not return_embeddings
+                and self.length_bucketing and B >= 8):
+            # Sequence packing (inference/packing.py): several short
+            # documents per 128-multiple text row — ~30% fewer tokens
+            # through the BERT tower on the shipped corpus (75-95-token
+            # descriptions vs the 128 bucket). Outputs match the classic
+            # path up to f32 summation order; engaged only when the
+            # packed token count beats the bucket by >15%.
+            from multimodal_rare_disease_tpu.inference.packing import (
+                pack_texts, packing_wins,
+            )
+
+            lens = mask.sum(axis=1)
+            bucket = ids.shape[1]
+            cap = max(256, -(-int(lens.max()) // 128) * 128)
+            if packing_wins(lens, bucket, capacity=cap):
+                pb = pack_texts(ids, mask, capacity=cap, row_multiple=8)
+                # compile-cache-friendly shapes: rows to a multiple of
+                # 32 (above 32), query slots to a power of two
+                R = pb.input_ids.shape[0]
+                R2 = R if R <= 32 else -(-R // 32) * 32
+                P = pb.query_positions.shape[1]
+                P2 = 1 << max(0, P - 1).bit_length()
+                pad_r = R2 - R
+                qpos = np.pad(pb.query_positions, ((0, pad_r),
+                                                   (0, P2 - P)))
+                out = self._forward_packed(
+                    self.params, self.batch_stats, jnp.asarray(imgs),
+                    jnp.asarray(np.pad(pb.input_ids, ((0, pad_r), (0, 0)))),
+                    jnp.asarray(np.pad(pb.position_ids,
+                                       ((0, pad_r), (0, 0)))),
+                    jnp.asarray(np.pad(pb.segment_ids,
+                                       ((0, pad_r), (0, 0)))),
+                    jnp.asarray(qpos), jnp.asarray(pb.doc_row),
+                    jnp.asarray(pb.doc_slot))
+        if out is None:
+            out = self._forward(self.params, self.batch_stats,
+                                jnp.asarray(imgs), jnp.asarray(ids),
+                                jnp.asarray(mask), return_embeddings)
         probs = np.asarray(out["probs"], np.float32)[:n]
         results = []
         for i in range(n):

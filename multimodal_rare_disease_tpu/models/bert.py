@@ -123,12 +123,19 @@ class BertSelfAttention(nn.Module):
     def __call__(self, hidden, attention_bias, attention_mask=None,
                  train: bool = False, output_attentions: bool = False,
                  cls_query_only: bool = False,
+                 query_positions=None,
                  return_unprojected: bool = False):
         """With `return_unprojected=True` the module creates the same
         output-projection params but returns `(ctx, wo, bo)` unapplied,
         so BertLayer can run the fused attn-out+residual+LN Pallas
         sublayer (ops/pallas/attn_out.py) on checkpoint-identical
-        weights."""
+        weights.
+
+        `query_positions` [B, P] (with cls_query_only) generalizes the
+        CLS-only fast path to sequence-packed batches: Q is computed
+        for those positions only (one per packed document), K/V stay
+        full-sequence. Numerically identical to slicing the full
+        forward at the same positions."""
         from multimodal_rare_disease_tpu.models.quant import (
             MaybeQuantDenseGeneral,
         )
@@ -166,10 +173,18 @@ class BertSelfAttention(nn.Module):
             # numerically identical to slicing the fused output.
             w2d, b_all = qkv_mod(hidden, return_weights=True)
             h2 = hidden if flat else hidden.reshape(B * T, H)
-            cls_rows = h2[::T] if flat else hidden[:, 0]
+            if query_positions is not None:
+                h3 = h2.reshape(B, T, H)
+                q_rows = jnp.take_along_axis(
+                    h3, query_positions[:, :, None], axis=1)  # [B,P,H]
+                P = q_rows.shape[1]
+            else:
+                q_rows = h2[::T] if flat else hidden[:, 0]
+                P = 1
             dt = self.dtype
-            q = (jnp.dot(cls_rows.astype(dt), w2d[:, :hd].astype(dt))
-                 + b_all[:hd].astype(dt)).reshape(B, 1, self.num_heads, d)
+            q = (jnp.dot(q_rows.reshape(B * P, H).astype(dt),
+                         w2d[:, :hd].astype(dt))
+                 + b_all[:hd].astype(dt)).reshape(B, P, self.num_heads, d)
             kv = (jnp.dot(h2.astype(dt), w2d[:, hd:].astype(dt))
                   + b_all[hd:].astype(dt)).reshape(B, T, 2,
                                                    self.num_heads, d)
@@ -180,9 +195,13 @@ class BertSelfAttention(nn.Module):
                 qkv = qkv.reshape(B, T, 3, self.num_heads, d)
             q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
             if cls_query_only:
-                # quantized fallback: restrict the query to position 0
-                # (numerically identical to slicing the full output)
-                q = q[:, :1]
+                # quantized fallback: restrict the query to the consumed
+                # positions (numerically identical to slicing the output)
+                if query_positions is not None:
+                    q = jnp.take_along_axis(
+                        q, query_positions[:, :, None, None], axis=1)
+                else:
+                    q = q[:, :1]
 
         # Lane-pad the attention core when T doesn't fill the 128-lane
         # tile (the serving T=96 bucket): at T=96 XLA assigns the qkv
@@ -198,7 +217,7 @@ class BertSelfAttention(nn.Module):
         # under train the probs-dropout RNG shape would change draws.
         pad_t = 0
         if (not train and not output_attentions and T % 128 != 0
-                and T > 64):
+                and T > 64 and attention_bias.shape[2] == 1):
             pad_t = 128 - T % 128
             k = jnp.pad(k, ((0, 0), (0, pad_t), (0, 0), (0, 0)))
             v = jnp.pad(v, ((0, 0), (0, pad_t), (0, 0), (0, 0)))
@@ -210,6 +229,16 @@ class BertSelfAttention(nn.Module):
             if attention_mask is not None:
                 attention_mask = jnp.pad(attention_mask,
                                          ((0, 0), (0, pad_t)))
+
+        if cls_query_only and attention_bias.shape[2] > 1:
+            # packed 2-D mask [B,1,T,T]: keep only the restricted
+            # queries' bias rows -> [B,1,P,T]
+            if query_positions is not None:
+                attention_bias = jnp.take_along_axis(
+                    attention_bias, query_positions[:, None, :, None],
+                    axis=2)
+            else:
+                attention_bias = attention_bias[:, :, :1]
 
         use_pallas = (self.fused_attention and not train and not cls_query_only
                       and not output_attentions and attention_mask is not None)
@@ -265,7 +294,7 @@ class BertLayer(nn.Module):
     @nn.compact
     def __call__(self, hidden, attention_bias, attention_mask=None,
                  train: bool = False, output_attentions: bool = False,
-                 cls_only: bool = False):
+                 cls_only: bool = False, query_positions=None):
         from multimodal_rare_disease_tpu.models.quant import (
             MaybeQuantDenseGeneral,
         )
@@ -318,13 +347,18 @@ class BertLayer(nn.Module):
             dtype=self.dtype, param_dtype=self.param_dtype, name="attention",
         )(attn_in, attention_bias, attention_mask=attention_mask, train=train,
           output_attentions=output_attentions, cls_query_only=cls_only,
+          query_positions=query_positions,
           return_unprojected=use_fused_attnout)
         if cls_only:
-            # the rest of the layer (residual, LNs, FFN) runs on the CLS
-            # position only — 1/T of the tokens (numerics unchanged)
+            # the rest of the layer (residual, LNs, FFN) runs on the
+            # consumed positions only — one per (packed) document
+            # (numerics unchanged)
             if hidden.ndim == 2:  # flat [B*T, H] stream → [B, H]
                 B = attention_bias.shape[0]
                 hidden = hidden.reshape(B, -1, hidden.shape[-1])[:, 0]
+            elif query_positions is not None:
+                hidden = jnp.take_along_axis(
+                    hidden, query_positions[:, :, None], axis=1)
             else:
                 hidden = hidden[:, :1]
         from multimodal_rare_disease_tpu.ops.pallas import ffn as _ffn
@@ -441,16 +475,33 @@ class BertEncoder(nn.Module):
         output_hidden_states: bool = False,
         output_attentions: bool = False,
         cls_only_final: bool = False,
+        position_ids: Optional[jnp.ndarray] = None,
+        segment_ids: Optional[jnp.ndarray] = None,
+        query_positions: Optional[jnp.ndarray] = None,
     ) -> Dict[str, Any]:
         """When `cls_only_final` (inference fast path), the LAST layer
         computes only the CLS position (its query attends over the full
         sequence — numerically identical to slicing the full forward at
         position 0) and `last_hidden_state` comes out as [B, 1, H].
-        Ignored when full hidden states / attentions are requested."""
+        Ignored when full hidden states / attentions are requested.
+
+        Sequence-packed batches (inference/packing.py): several short
+        documents share one row. `segment_ids` [B, T] (0 = pad, 1..k =
+        document) builds a block-diagonal attention mask, so cross-
+        document scores carry a -1e9 bias whose softmax contribution
+        underflows to exactly 0 — per-document outputs are bit-identical
+        to the unpacked forward. `position_ids` [B, T] restarts positions
+        at each document start; `query_positions` [B, P] are the CLS
+        positions (one per document) the final layer computes, and
+        `cls`/`pooler_output` come out as [B, P, H]."""
         B, T = input_ids.shape
         cls_only_final = (cls_only_final and not output_hidden_states
                           and not output_attentions)
-        positions = jnp.arange(T)[None, :]
+        packed = segment_ids is not None
+        if position_ids is not None:
+            positions = position_ids
+        else:
+            positions = jnp.arange(T)[None, :]
 
         word = nn.Embed(self.vocab_size, self.hidden_size,
                         param_dtype=self.param_dtype, dtype=self.dtype,
@@ -477,7 +528,14 @@ class BertEncoder(nn.Module):
         hidden = nn.Dropout(rate=self.dropout)(hidden, deterministic=not train)
 
         # additive attention bias: 0 for real tokens, large negative for pad
-        bias = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32)) * -1e9
+        if packed:
+            # block-diagonal: key allowed iff same nonzero document id
+            same = segment_ids[:, :, None] == segment_ids[:, None, :]
+            allowed = same & (segment_ids[:, None, :] != 0)
+            bias = jnp.where(allowed, 0.0, -1e9)[:, None]  # [B,1,T,T]
+        else:
+            bias = (1.0 - attention_mask[:, None, None, :]
+                    .astype(jnp.float32)) * -1e9
         bias = bias.astype(self.dtype)
 
         # Flat-2D residual stream: keep hidden as [B*T, H] between layers
@@ -491,7 +549,7 @@ class BertEncoder(nn.Module):
         # [B, T, ...] around its core. Viz paths (hidden states /
         # attentions) keep the classic 3D stream.
         flat = (self.flat_residual and not output_hidden_states
-                and not output_attentions)
+                and not output_attentions and not packed)
         if flat:
             hidden = hidden.reshape(B * T, self.hidden_size)
 
@@ -507,9 +565,12 @@ class BertEncoder(nn.Module):
                 ln_barrier=self.ln_barrier,
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"layer{i}",
-            )(hidden, bias, attention_mask=attention_mask, train=train,
+            )(hidden, bias,
+              attention_mask=None if packed else attention_mask,
+              train=train,
               output_attentions=output_attentions,
-              cls_only=cls_only_final and i == self.num_layers - 1)
+              cls_only=cls_only_final and i == self.num_layers - 1,
+              query_positions=query_positions if packed else None)
             if output_hidden_states:
                 all_hidden.append(hidden)
             if output_attentions:
@@ -524,7 +585,14 @@ class BertEncoder(nn.Module):
             # back to [B, T', H] for the public contract (T'=1 after the
             # cls-only final layer, where the stream is already [B, H])
             hidden = hidden.reshape(B, -1, self.hidden_size)
-        cls = hidden[:, 0, :]
+        if packed and query_positions is not None:
+            if cls_only_final:
+                cls = hidden  # already the P query positions: [B, P, H]
+            else:
+                cls = jnp.take_along_axis(
+                    hidden, query_positions[:, :, None], axis=1)
+        else:
+            cls = hidden[:, 0, :]
         pooled = nn.Dense(self.hidden_size, dtype=self.dtype,
                           param_dtype=self.param_dtype,
                           kernel_init=_HF_INIT, name="pooler")(cls)
@@ -606,6 +674,9 @@ class TextEncoder(nn.Module):
         train: bool = False,
         output_hidden_states: bool = False,
         output_attentions: bool = False,
+        position_ids: Optional[jnp.ndarray] = None,
+        segment_ids: Optional[jnp.ndarray] = None,
+        query_positions: Optional[jnp.ndarray] = None,
     ):
         out = self.bert(
             input_ids,
@@ -618,6 +689,9 @@ class TextEncoder(nn.Module):
             # pooler), so inference can skip the last layer's other T-1
             # positions entirely; full forward when states are requested
             cls_only_final=not train,
+            position_ids=position_ids,
+            segment_ids=segment_ids,
+            query_positions=query_positions,
         )
         emb = out["pooler_output"] if self.use_pooler_output else out["cls"]
         emb = self.drop(emb, deterministic=not train)

@@ -121,6 +121,34 @@ class MultimodalClassifier(nn.Module):
             out["attention_info"] = attention_info
         return out
 
+    def packed_forward(
+        self,
+        images: jnp.ndarray,          # [N, H, W, 3]
+        input_ids: jnp.ndarray,       # [R, C] packed rows
+        position_ids: jnp.ndarray,    # [R, C]
+        segment_ids: jnp.ndarray,     # [R, C]
+        query_positions: jnp.ndarray,  # [R, P]
+        doc_row: jnp.ndarray,         # [N]
+        doc_slot: jnp.ndarray,        # [N]
+    ) -> Dict[str, Any]:
+        """Inference forward over a sequence-packed text batch
+        (inference/packing.py): several short documents share each text
+        row, per-document embeddings are gathered back to [N, H] and the
+        fusion/head run per document. Bit-identical to `__call__` with
+        per-document padded rows (tests/test_packing.py); the reference
+        pads every request to a fixed 128 tokens (`src/predict.py:111-118`).
+        Not supported with attend_over_tokens (token-level fusion wants
+        per-document token streams)."""
+        image_emb = self.cnn_encoder(images, train=False)
+        txt = self.text_encoder(
+            input_ids, None, train=False,
+            position_ids=position_ids, segment_ids=segment_ids,
+            query_positions=query_positions)          # [R, P, 768]
+        text_emb = txt[doc_row, doc_slot]             # [N, 768]
+        fused, _ = self.fusion(image_emb, text_emb, train=False)
+        logits = self.head(fused, train=False)
+        return {"logits": logits, "probs": nn.softmax(logits, axis=-1)}
+
     def image_feature_maps(self, images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         """Conv feature maps for Grad-CAM (inference mode)."""
         _, features = self.cnn_encoder.backbone_features(images, train=False)
