@@ -107,3 +107,77 @@ def test_predictor_wrong_modality_raises(trained):
     pred = load_predictor(workdir / "image_only_best")
     with pytest.raises(ValueError):
         pred.predict_batch(images=None, texts=["hello"])
+
+
+def test_predictor_packed_path_engages_and_matches(monkeypatch):
+    """The predictor must actually ENGAGE sequence packing on the
+    shipped corpus shape (clinical descriptions, batch >= 8) and return
+    the same JSON contract as the classic bucketed forward
+    (inference/packing.py; unit numerics in tests/test_packing.py)."""
+    import json
+
+    import jax.numpy as jnp
+
+    from multimodal_rare_disease_tpu.config import resolve_config
+    from multimodal_rare_disease_tpu.inference import packing as packing_mod
+    from multimodal_rare_disease_tpu.inference.predictor import (
+        MultimodalPredictor,
+    )
+    from multimodal_rare_disease_tpu.models import create_model
+    from multimodal_rare_disease_tpu.ops.preprocess import eval_preprocess
+
+    desc_path = Path("/root/reference/data/"
+                     "syndrome_clinical_descriptions.json")
+    if not desc_path.exists():
+        pytest.skip("reference corpus absent")
+    descs = json.loads(desc_path.read_text())
+    texts = [v["clinical_description"] for v in descs.values()]
+    texts = (texts * 4)[:40]
+
+    cfg = resolve_config("default", {
+        "data.image_size": 32,
+        "data.max_text_length": 128,
+        "text_encoder.num_layers": 1,
+        "text_encoder.num_heads": 2,
+        "text_encoder.hidden_size": 32,
+        "text_encoder.intermediate_size": 64,
+        "fusion.text_proj_dim": 32,
+        "fusion.hidden_dim": 32,
+        "fusion.num_attention_heads": 2,
+        "cnn_encoder.embedding_dim": 32,
+        "classifier.hidden_dims": (32,),
+        "training.compute_dtype": "float32",
+    })
+    model = create_model(cfg, mode="multimodal", dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    img0 = jnp.asarray(rng.integers(0, 256, (1, 256, 256, 3),
+                                    dtype=np.uint8))
+    variables = model.init(jax.random.key(0),
+                           eval_preprocess(img0, cfg, dtype=jnp.float32),
+                           jnp.zeros((1, 8), jnp.int32),
+                           jnp.ones((1, 8), jnp.int32), train=False)
+    pred = MultimodalPredictor(cfg, variables["params"],
+                               variables.get("batch_stats", {}),
+                               mode="multimodal")
+
+    images = [rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+              for _ in range(40)]
+
+    packed_calls = []
+    orig_pack = packing_mod.pack_texts
+    monkeypatch.setattr(
+        packing_mod, "pack_texts",
+        lambda *a, **k: (packed_calls.append(1), orig_pack(*a, **k))[1])
+    res_packed = pred.predict_batch(images, texts, top_k=3)
+    assert packed_calls, "packed path did not engage on corpus-shaped batch"
+
+    monkeypatch.setattr(packing_mod, "packing_wins",
+                        lambda *a, **k: False)
+    res_classic = pred.predict_batch(images, texts, top_k=3)
+
+    assert len(res_packed) == len(res_classic) == 40
+    for a, b in zip(res_packed, res_classic):
+        assert (a["top_prediction"]["class_id"]
+                == b["top_prediction"]["class_id"])
+        for k, v in a["all_probabilities"].items():
+            assert abs(v - b["all_probabilities"][k]) < 1e-4
