@@ -7,7 +7,12 @@ warmup (already supported: training.warmup_epochs) and/or a flag-gated
 pre-LN variant (text_encoder.pre_layernorm, added this round).
 
 Runs the SAME full-size recipe with post-LN (control) and pre-LN and
-writes loss histories to artifacts/round3/text_cliff.json.
+writes loss histories to artifacts/round4/text_cliff.json.
+
+Round-3 postmortem: the original version buffered everything and wrote
+the JSON only after BOTH 30-epoch runs — the chip session ended mid-run
+and nothing survived (VERDICT r3 missing #1). Now each variant persists
+as it completes and reruns skip finished variants.
 
 Run on the real chip: python artifacts/exp_text_cliff.py [epochs]
 """
@@ -21,7 +26,7 @@ from multimodal_rare_disease_tpu.config import resolve_config
 from multimodal_rare_disease_tpu.train import Trainer
 from multimodal_rare_disease_tpu.train.pipeline import DataPipeline
 
-OUT = Path(__file__).parent / "round3"
+OUT = Path(__file__).parent / "round4"
 OUT.mkdir(exist_ok=True)
 
 EPOCHS = int(sys.argv[1]) if len(sys.argv) > 1 else 30
@@ -63,17 +68,21 @@ def run(pre_ln: bool, workdir: str):
 
 
 def main():
-    results = {}
+    out = OUT / "text_cliff.json"
+    results = json.loads(out.read_text()) if out.exists() else {}
     for pre_ln in (False, True):
         tag = "pre_ln" if pre_ln else "post_ln"
+        if tag in results:
+            print(f"{tag}: cached", flush=True)
+            continue
         print(f"=== {tag} (full-size 12x3072, warmup 3 epochs) ===",
               flush=True)
         r = run(pre_ln, f"/tmp/text_cliff_{tag}")
         results[tag] = r
+        out.write_text(json.dumps(results, indent=1))
         print(f"{tag}: final train_loss={r['train_loss'][-1]} "
               f"val_acc={r['val_acc'][-1]}", flush=True)
-    (OUT / "text_cliff.json").write_text(json.dumps(results, indent=1))
-    print("written", OUT / "text_cliff.json")
+    print("written", out)
 
 
 if __name__ == "__main__":

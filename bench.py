@@ -92,7 +92,13 @@ def main() -> None:
     from multimodal_rare_disease_tpu.models import create_model
     from multimodal_rare_disease_tpu.ops.preprocess import eval_preprocess
 
-    cfg = resolve_config("default")
+    # BENCH_QUANT=1: experiment override — serve the BERT tower via the
+    # dynamic W8A8 int8 path (models/quant.py). Driver contract stays
+    # bf16; this exists so artifacts/exp_int8_serving.py can measure the
+    # quantized path through the exact official-bench methodology.
+    quant = os.environ.get("BENCH_QUANT", "0") == "1"
+    cfg = resolve_config("default",
+                         text_encoder__quantized_inference=quant)
     dtype = jnp.bfloat16
     model = create_model(cfg, mode="multimodal", dtype=dtype)
 
@@ -204,12 +210,13 @@ def main() -> None:
             "text_packing": (f"{B} docs in {pb.num_rows} x {cap} rows "
                              f"({pb.tokens_per_doc:.0f} tok/doc)"
                              if packed else "off"),
-            "dtype": "bfloat16",
+            "dtype": "int8-W8A8 text tower, bf16 rest" if quant
+                     else "bfloat16",
             "device": str(jax.devices()[0]),
         },
     }
     try:
-        if B == 256:  # don't let experiment overrides pollute the
+        if B == 256 and not quant:  # don't let experiment overrides pollute the
             _CACHE.write_text(json.dumps(result))  # watchdog fallback
     except OSError:
         pass

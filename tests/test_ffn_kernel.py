@@ -48,6 +48,38 @@ def test_interpret_matches_reference_bf16():
     np.testing.assert_allclose(got, ref, atol=5e-2)
 
 
+def test_interpret_matches_reference_folded_ln_f32():
+    """pre_gamma path: the kernel takes the UNNORMALIZED residual z and
+    folds the attention LayerNorm in — must equal LN0(z) fed through the
+    plain reference. (Previously covered only by the on-TPU tier.)"""
+    z, args = _make(64, 256, 512, jnp.float32, seed=3)
+    rng = np.random.default_rng(4)
+    g0 = jnp.asarray(1.0 + rng.normal(size=(256,)) * 0.05, jnp.float32)
+    o0 = jnp.asarray(rng.normal(size=(256,)) * 0.01, jnp.float32)
+    got = np.asarray(fused_ffn_ln(z, *args, interpret=True,
+                                  pre_gamma=g0, pre_beta=o0))
+    mu = jnp.mean(z, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(z - mu), axis=-1, keepdims=True)
+    h = ((z - mu) * jax.lax.rsqrt(var + 1e-12) * g0 + o0).astype(z.dtype)
+    ref = np.asarray(ffn_ln_reference(h, *args))
+    np.testing.assert_allclose(got, ref, atol=5e-5)
+
+
+def test_interpret_matches_reference_folded_ln_bf16():
+    z, args = _make(64, 256, 512, jnp.bfloat16, seed=5)
+    rng = np.random.default_rng(6)
+    g0 = jnp.asarray(1.0 + rng.normal(size=(256,)) * 0.05, jnp.float32)
+    o0 = jnp.asarray(rng.normal(size=(256,)) * 0.01, jnp.float32)
+    got = np.asarray(fused_ffn_ln(z, *args, interpret=True,
+                                  pre_gamma=g0, pre_beta=o0), np.float32)
+    zf = z.astype(jnp.float32)
+    mu = jnp.mean(zf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(zf - mu), axis=-1, keepdims=True)
+    h = ((zf - mu) * jax.lax.rsqrt(var + 1e-12) * g0 + o0).astype(z.dtype)
+    ref = np.asarray(ffn_ln_reference(h, *args), np.float32)
+    np.testing.assert_allclose(got, ref, atol=5e-2)
+
+
 def test_block_rows_cover_serving_buckets():
     # every (batch bucket x length bucket) M plus the cls-only layer
     # M=B must either tile or fall back via the fusibility gate
