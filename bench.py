@@ -116,7 +116,10 @@ def main() -> None:
     )
 
     lens = mask_np.sum(axis=1)
-    cap = max(256, -(-int(lens.max()) // 128) * 128)
+    # BENCH_CAP: packing-row capacity override for the round-4 sweep
+    # (256/384/512 — fewer, longer rows at the same 128-lane alignment)
+    cap = int(os.environ.get(
+        "BENCH_CAP", max(256, -(-int(lens.max()) // 128) * 128)))
     packed = (os.environ.get("BENCH_PACKED", "1") == "1"
               and packing_wins(lens, T, capacity=cap))
     if packed:

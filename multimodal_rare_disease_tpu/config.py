@@ -240,10 +240,13 @@ class TextEncoderConfig:
     # capability for stacks whose ctx is already 2-D (e.g. flat stream).
     fused_attn_out: bool = False
     # W8A8 dynamic int8 for the transformer's big matmuls at inference.
-    # Off by default: measured SLOWER than bf16 on this stack (110.8 vs
-    # 73.5 ms/256-batch on v5e — XLA does not map dynamic s8xs8 dots to
-    # the int8 MXU path efficiently here); numerics verified, kept as an
-    # option for stacks where it wins. Training always runs bf16/f32.
+    # Off by default: measured SLOWER than bf16 end-to-end through the
+    # official bench (round 4, artifacts/round4/int8_serving.json:
+    # int8 3,079 pairs/s packed / 2,608 classic vs bf16 5,068 / 4,843 on
+    # v5e — the dynamic quantize/dequantize epilogues cost more than the
+    # int8 MXU rate saves at these shapes, and quantized mode forfeits
+    # the fused-FFN Pallas kernel); numerics verified, kept as an option
+    # for stacks where it wins. Training always runs bf16/f32.
     quantized_inference: bool = False
     # Pre-LN transformer blocks (GPT-2/ViT placement) + final LN.
     # OFF by default — post-LN is HF-BERT conversion parity. Turn on for

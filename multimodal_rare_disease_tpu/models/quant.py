@@ -1,12 +1,21 @@
-"""Int8 (W8A8) quantized serving path.
+"""Int8 (W8A8) quantized serving path — measured, REJECTED as default.
 
-The v5e MXU runs s8×s8→s32 at ~2× the bf16 rate, and the BERT encoder is
-~80% of the flagship's inference FLOPs — so the serving fast path
-quantizes the transformer's big matmuls with dynamic symmetric
-quantization: per-output-channel weight scales + per-row (per-token)
-activation scales, computed in-graph. Weights quantize from the same f32
-master params (no separate checkpoint format); the transform is gated by
+Dynamic symmetric quantization for the transformer's big matmuls:
+per-output-channel weight scales + per-row (per-token) activation
+scales, computed in-graph. Weights quantize from the same f32 master
+params (no separate checkpoint format); the transform is gated by
 `TextEncoderConfig.quantized_inference` and never used in training.
+
+The hardware rationale (the v5e MXU runs s8×s8→s32 faster than bf16,
+and the BERT tower is ~80% of inference FLOPs) does NOT survive contact
+with the end-to-end bench: the official round-4 measurement
+(artifacts/round4/int8_serving.json, via `BENCH_QUANT=1 python
+bench.py`) came out 3,079 pairs/s packed / see json for classic —
+vs 5,068 bf16 packed. XLA lowers these dynamic-quantized dots through
+quantize/dequantize epilogues that cost more than the MXU saves at
+these shapes, and quantized mode also forfeits the fused-FFN Pallas
+kernel. Kept as a correctness-tested option (docs/PERF.md capability
+matrix) for stacks where the trade-off flips.
 
 `MaybeQuantDenseGeneral` declares the exact param structure of
 `nn.DenseGeneral` (kernel/bias names, shapes, init), so checkpoints and
