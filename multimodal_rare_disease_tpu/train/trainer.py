@@ -162,7 +162,15 @@ class Trainer:
                 jnp.float32)
         args = _model_inputs(self.mode, {k: jnp.asarray(v[:1]) for k, v in
                                          batch.items()}, images)
-        variables = self.model.init(self.rngs.device("init"), *args, train=False)
+        # jit the init: eagerly it dispatches hundreds of individual ops,
+        # each paying a separate remote compile + RTT over the TPU tunnel
+        # (measured 397 s for a cold-cache full-size BERT-base init vs
+        # 45 s for the jitted GRAD compile+run of the same model —
+        # artifacts/round4/text_cliff postmortem). One jitted program =
+        # one compile.
+        init_fn = jax.jit(lambda rng, *a: self.model.init(rng, *a,
+                                                          train=False))
+        variables = init_fn(self.rngs.device("init"), *args)
         self.state = create_train_state(self.cfg, variables)
         if self.mesh.shape.get("model", 1) > 1:
             # tensor-parallel placements over the 'model' axis (BERT
