@@ -18,6 +18,7 @@ Run on the real chip: python artifacts/exp_text_cliff.py [epochs]
 """
 
 import json
+import logging
 import sys
 import time
 from pathlib import Path
@@ -25,6 +26,11 @@ from pathlib import Path
 from multimodal_rare_disease_tpu.config import resolve_config
 from multimodal_rare_disease_tpu.train import Trainer
 from multimodal_rare_disease_tpu.train.pipeline import DataPipeline
+
+# per-epoch trainer lines to stdout — the silent 70-minute round-3/4
+# runs were undebuggable without them
+logging.basicConfig(level=logging.INFO, stream=sys.stdout,
+                    format="%(asctime)s %(message)s")
 
 OUT = Path(__file__).parent / "round4"
 OUT.mkdir(exist_ok=True)
@@ -49,6 +55,10 @@ def run(pre_ln: bool, workdir: str):
         "training.warmup_epochs": 3,
         "training.early_stopping": False,
         "training.checkpoint_dir": workdir,
+        # loss curves are the deliverable; a full-size best-save reads
+        # ~GBs back over the tunnel per improving epoch and dominated
+        # wall-clock in the first round-4 attempt
+        "training.save_checkpoints": False,
     })
     pipe = DataPipeline(cfg, mode="text_only",
                         image_dir="/root/reference/data/images")

@@ -325,6 +325,12 @@ class TrainingConfig:
     best_metric: str = "val_loss"
 
     save_best_only: bool = False
+    # master switch for checkpoint writes. False = track best metrics but
+    # never serialize (loss-curve experiments over the slow TPU tunnel:
+    # each full-size best-save reads ~GBs of state back D2H and can
+    # dominate wall-clock — the round-4 text-cliff run spent more time
+    # in orbax saves than in training until this existed)
+    save_checkpoints: bool = True
     # cadence for the resumable "last" checkpoint. Checkpointing reads the
     # full model+optimizer state back from device (~1.6 GB for the
     # flagship) — every-epoch saves dominated wall-clock over this

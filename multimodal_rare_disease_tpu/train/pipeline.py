@@ -124,11 +124,23 @@ class DataPipeline:
             self.train_samples, self.val_samples = stratified_split(
                 samples, cfg.data.val_ratio, rng=split_rng)
 
-        configure_face_detection(cfg)
-        self.train_images, self.train_labels = load_corpus_arrays(
-            self.train_samples, STAGING_SIZE)
-        self.val_images, self.val_labels = load_corpus_arrays(
-            self.val_samples, STAGING_SIZE)
+        if mode == "text_only":
+            # labels only — decoding + face-cropping the image corpus
+            # would be pure waste here (device_corpus/train_batches never
+            # ship images in this mode, but MTCNN over the corpus costs
+            # minutes of host time per pipeline build)
+            self.train_images = np.zeros((0,), np.uint8)
+            self.val_images = np.zeros((0,), np.uint8)
+            self.train_labels = np.asarray(
+                [s.label for s in self.train_samples], np.int32)
+            self.val_labels = np.asarray(
+                [s.label for s in self.val_samples], np.int32)
+        else:
+            configure_face_detection(cfg)
+            self.train_images, self.train_labels = load_corpus_arrays(
+                self.train_samples, STAGING_SIZE)
+            self.val_images, self.val_labels = load_corpus_arrays(
+                self.val_samples, STAGING_SIZE)
 
         self.class_weights = class_weights(self.train_samples)
         self._sampler = WeightedSampler(

@@ -549,10 +549,12 @@ class Trainer:
                         else self._manual_best(metric_value, stop_mode))
             if improved:
                 self.best_metric_value = metric_value
-                self.save("best", epoch)
+                if cfg.training.save_checkpoints:
+                    self.save("best", epoch)
             every = max(1, cfg.training.checkpoint_every_epochs)
             is_last_epoch = (epoch + 1) == num_epochs
-            if not cfg.training.save_best_only and (
+            if cfg.training.save_checkpoints \
+                    and not cfg.training.save_best_only and (
                     (epoch + 1) % every == 0 or is_last_epoch):
                 self.save("last", epoch)
 
@@ -565,7 +567,8 @@ class Trainer:
 
             if early is not None and early.should_stop:
                 log.info("early stopping at epoch %d", epoch + 1)
-                if not cfg.training.save_best_only:
+                if cfg.training.save_checkpoints \
+                        and not cfg.training.save_best_only:
                     self.save("last", epoch)
                 break
 
