@@ -45,14 +45,20 @@ def pallas_available() -> bool:
         o_ref[:] = x_ref[:] * 2.0
 
     try:
-        x = jnp.ones((8, 128), jnp.float32)
-        out = pl.pallas_call(
-            _k,
-            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        )(x)
-        ok = bool(abs(float(out[0, 0]) - 2.0) < 1e-6)
+        # ensure_compile_time_eval: the first call may come from inside
+        # a jit trace (e.g. the trainer's jitted model init traces
+        # BertLayer -> _fused_ffn_engaged -> here); without it the
+        # float() readback sees a tracer, raises, and Pallas would be
+        # cached off for the whole process.
+        with jax.ensure_compile_time_eval():
+            x = jnp.ones((8, 128), jnp.float32)
+            out = pl.pallas_call(
+                _k,
+                out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            )(x)
+            ok = bool(abs(float(out[0, 0]) - 2.0) < 1e-6)
     except Exception as e:  # noqa: BLE001 — any compile/runtime failure
         log.warning("Pallas unavailable on this TPU (%s: %.200s); "
                     "using XLA fallbacks", type(e).__name__, e)
