@@ -93,7 +93,10 @@ def run(budget_gb: float, tag: str) -> dict:
 
 
 def main():
-    out = OUT / "streaming.json"
+    # Optional second argv: output filename (default streaming.json), so
+    # the crossover run (same N through BOTH modes) lands in its own file.
+    out_name = sys.argv[2] if len(sys.argv) > 2 else "streaming.json"
+    out = OUT / out_name
     results = json.loads(out.read_text()) if out.exists() else {}
     for tag, budget in (("streaming", 4.0), ("hbm_resident", 8.0)):
         if tag in results:

@@ -149,17 +149,19 @@ print(json.dumps(pred["predictions"], indent=2))
 print("truth:", sample.syndrome)""")
 
 code("""\
-# predict one sample from every syndrome (the Colab 'multiple syndromes' cell)
-rows = []
-for name in sorted(by_class):
-    s = by_class[name][-1]
-    t = descs[name]["clinical_description"]
-    o = WORK / "p.json"
-    run(["multimodal_rare_disease_tpu.cli.predict",
-         "--checkpoint", str(CKPT / "multimodal_best"),
-         "--image", str(s.path), "--text", t, "--output", str(o)])
-    p = json.loads(o.read_text())["top_prediction"]
-    rows.append((name, p["syndrome"], p["confidence"]))
+# predict one sample from every syndrome (the Colab 'multiple syndromes'
+# cell) — here through the Python API in a single batched call: the
+# predictor pads to its batch bucket, length-buckets/packs the texts,
+# and runs one compiled XLA program for all 10 samples.
+from multimodal_rare_disease_tpu.inference import load_predictor
+
+predictor = load_predictor(str(CKPT / "multimodal_best"))
+names = sorted(by_class)
+batch = predictor.predict_batch(
+    images=[str(by_class[n][-1].path) for n in names],
+    texts=[descs[n]["clinical_description"] for n in names])
+rows = [(n, p["top_prediction"]["syndrome"],
+         p["top_prediction"]["confidence"]) for n, p in zip(names, batch)]
 correct = sum(a == b for a, b, _ in rows)
 for a, b, c in rows:
     print(f"{'OK ' if a == b else 'MISS'} {a:30s} -> {b:30s} {c:.3f}")

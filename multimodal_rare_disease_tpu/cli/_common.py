@@ -19,6 +19,31 @@ def setup_logging(verbose: bool = True) -> None:
     )
 
 
+def enable_compilation_cache() -> None:
+    """Point JAX at a persistent on-disk compilation cache.
+
+    Every CLI entry point is a fresh process, and the flagship
+    predictor/evaluator costs minutes of XLA compile cold — so without
+    a persistent cache a notebook or shell script that chains CLI calls
+    re-pays that compile per invocation. The cache keys on optimized
+    HLO + compile options, so it is exact across processes. An explicit
+    JAX_COMPILATION_CACHE_DIR is honored; MRD_NO_COMPILE_CACHE=1
+    disables (e.g. for compile-time benchmarking).
+    """
+    if os.environ.get("MRD_NO_COMPILE_CACHE") == "1":
+        return
+    import jax
+
+    path = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "mrd_jax_cache")
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+    except Exception:  # the cache is an optimization, never a failure
+        logging.getLogger(__name__).debug(
+            "compilation cache unavailable", exc_info=True)
+
+
 def configure_platform(platform: Optional[str] = None) -> None:
     """Pin the JAX platform before first backend use.
 
@@ -32,6 +57,7 @@ def configure_platform(platform: Optional[str] = None) -> None:
     rather than erroring, so in-process probing is not an option (see
     `probe_default_backend` for the subprocess probe).
     """
+    enable_compilation_cache()
     choice = platform or os.environ.get("MRD_PLATFORM")
     if not choice or choice == "auto":
         return

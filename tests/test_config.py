@@ -69,3 +69,31 @@ def test_config_immutable():
     cfg = resolve_config()
     with pytest.raises(dataclasses.FrozenInstanceError):
         cfg.seed = 1
+
+
+def test_compilation_cache_default(tmp_path, monkeypatch):
+    """CLIs point JAX at a persistent compilation cache (fresh-process
+    cold starts would otherwise re-pay minutes of XLA compile per CLI
+    invocation); MRD_NO_COMPILE_CACHE=1 opts out."""
+    import jax
+
+    from multimodal_rare_disease_tpu.cli._common import (
+        enable_compilation_cache,
+    )
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        target = str(tmp_path / "cache")
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", target)
+        monkeypatch.delenv("MRD_NO_COMPILE_CACHE", raising=False)
+        enable_compilation_cache()
+        assert jax.config.jax_compilation_cache_dir == target
+
+        # The kill switch must leave the config untouched.
+        monkeypatch.setenv("MRD_NO_COMPILE_CACHE", "1")
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR",
+                           str(tmp_path / "other"))
+        enable_compilation_cache()
+        assert jax.config.jax_compilation_cache_dir == target
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
