@@ -39,9 +39,43 @@ def enable_compilation_cache() -> None:
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
+        # Bound the cache: JAX never evicts on its own, and chained CLI
+        # runs across configs/shapes would otherwise grow it forever.
+        # NOT via jax_compilation_cache_max_size — with that set, JAX's
+        # eviction expects an `-atime` companion per entry, and on a dir
+        # holding entries written before the bound existed every
+        # subsequent write fails with FileNotFoundError (measured here:
+        # the cache silently stopped warming). Trim oldest-first
+        # ourselves instead when the dir exceeds 4 GiB.
+        _trim_cache_dir(path, max_bytes=4 << 30)
     except Exception:  # the cache is an optimization, never a failure
         logging.getLogger(__name__).debug(
             "compilation cache unavailable", exc_info=True)
+
+
+def _trim_cache_dir(path: str, max_bytes: int) -> None:
+    """Best-effort LRU-ish bound: if the cache dir exceeds ``max_bytes``,
+    delete oldest-modified files until it is under half the bound."""
+    entries = []
+    total = 0
+    with os.scandir(path) as it:
+        for e in it:
+            if not e.is_file():
+                continue
+            st = e.stat()
+            entries.append((st.st_mtime, st.st_size, e.path))
+            total += st.st_size
+    if total <= max_bytes:
+        return
+    entries.sort()
+    for _, size, p in entries:
+        try:
+            os.unlink(p)
+        except OSError:
+            continue
+        total -= size
+        if total <= max_bytes // 2:
+            break
 
 
 def configure_platform(platform: Optional[str] = None) -> None:

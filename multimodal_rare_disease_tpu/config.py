@@ -192,6 +192,11 @@ class CNNEncoderConfig:
     freeze_backbone: bool = False
     freeze_stages: int = 0  # freeze first N stages (stem counts as stage 0)
     dropout: float = 0.5
+    # ResNet blocks per stage; None = the canonical ResNet-50 (3, 4, 6, 3).
+    # Smaller towers (e.g. (1, 1, 1, 1)) keep the 4-stage topology — same
+    # freeze/Grad-CAM semantics — at a fraction of the XLA compile cost;
+    # used by the multi-chip dryrun and fast tests. EfficientNet ignores it.
+    stage_sizes: Optional[Tuple[int, int, int, int]] = None
 
 
 @dataclass(frozen=True)

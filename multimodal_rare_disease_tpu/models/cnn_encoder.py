@@ -27,13 +27,21 @@ class CNNEncoder(nn.Module):
     backbone: str = "resnet50"
     embedding_dim: int = 512
     dropout: float = 0.5
+    # blocks per ResNet stage; None = canonical (3, 4, 6, 3). Smaller
+    # towers keep the 4-stage topology (freeze/Grad-CAM semantics) at a
+    # fraction of the compile cost. EfficientNet ignores it.
+    stage_sizes: Any = None
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     def setup(self):
         if self.backbone == "resnet50":
+            kw = {}
+            if self.stage_sizes is not None:
+                kw["stage_sizes"] = tuple(self.stage_sizes)
             self.encoder = ResNet50Encoder(
-                dtype=self.dtype, param_dtype=self.param_dtype, name="backbone"
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name="backbone", **kw
             )
         elif self.backbone in ("efficientnet_b0", "efficientnet-b0"):
             self.encoder = EfficientNetB0Encoder(
@@ -101,6 +109,7 @@ def create_cnn_encoder(
         backbone=cfg.backbone,
         embedding_dim=cfg.embedding_dim,
         dropout=cfg.dropout,
+        stage_sizes=cfg.stage_sizes,
         dtype=dtype,
         param_dtype=param_dtype,
         name=name,
