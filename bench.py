@@ -216,6 +216,8 @@ def main() -> None:
             "dtype": "int8-W8A8 text tower, bf16 rest" if quant
                      else "bfloat16",
             "device": str(jax.devices()[0]),
+            "capture_ts": time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         },
     }
     try:
@@ -226,12 +228,64 @@ def main() -> None:
     _emit(result)
 
 
+def _fallback_result(note: str, cache_path: Path = _CACHE) -> dict:
+    """The result emitted when the device never produced a fresh number:
+    the last measured value (if any) marked machine-readably stale.
+
+    Top-level ``"stale": true`` plus the cached ``extra.capture_ts``
+    (when the served number was actually measured) — round 4's fallback
+    was detectable only by reading a prose note. Unit-tested in
+    tests/test_bench_fallback.py."""
+    if cache_path.exists():
+        cached = json.loads(cache_path.read_text())
+    else:
+        cached = {"metric": "multimodal_predict_throughput", "value": 0.0,
+                  "unit": "pairs/sec/chip", "vs_baseline": 0.0, "extra": {}}
+        note += "; no cached measurement available"
+    cached["stale"] = True
+    cached.setdefault("extra", {})["note"] = note
+    return cached
+
+
+def _device_responsive(budget_s: float) -> bool:
+    """Pre-flight probe: one tiny device computation + host readback,
+    bounded by ``budget_s``. On a wedged axon tunnel (a killed client's
+    grant held with an infinite claim timeout) ANY device compute hangs
+    forever — this detects that state in seconds instead of letting the
+    full benchmark eat the whole watchdog budget (round 4 hung 1200 s
+    before falling back)."""
+    ok = threading.Event()
+
+    def _probe():
+        import jax
+        import jax.numpy as jnp
+        float(jnp.ones((8, 8)).sum())  # readback = the only real sync
+        ok.set()
+
+    threading.Thread(target=_probe, daemon=True).start()
+    return ok.wait(budget_s)
+
+
 def _run_with_watchdog() -> None:
-    """The axon TPU tunnel can wedge (a killed client's grant is held with
-    an infinite claim timeout) — in that state any device compute hangs
-    forever. Run the benchmark in a thread; on timeout, emit the last
-    measured result (flagged) rather than hanging the driver."""
+    """Run the benchmark with two layers of hang protection:
+
+    1. A cheap device probe first (default 90 s, retried once after a
+       30 s grace) — a wedged tunnel fails over to the stale cached
+       result in ~3 minutes, not 20.
+    2. The full-run watchdog (default 1200 s) for anything slower than
+       a hang (e.g. pathological compile) — same stale fallback."""
+    probe_s = float(os.environ.get("BENCH_PROBE_TIMEOUT_S", "90"))
     timeout_s = float(os.environ.get("BENCH_TIMEOUT_S", "1200"))
+
+    if probe_s > 0 and not _device_responsive(probe_s):
+        time.sleep(30)
+        if not _device_responsive(probe_s):
+            _emit(_fallback_result(
+                f"device hang: pre-flight probe failed twice within "
+                f"{probe_s:.0f}s (wedged axon tunnel); reporting last "
+                "measured value"))
+            os._exit(0)
+
     done = threading.Event()
 
     def _work():
@@ -244,16 +298,9 @@ def _run_with_watchdog() -> None:
     t.start()
     if done.wait(timeout_s):
         return
-    if _CACHE.exists():
-        cached = json.loads(_CACHE.read_text())
-        cached.setdefault("extra", {})["note"] = (
-            f"device hang: benchmark did not finish within {timeout_s:.0f}s "
-            "(wedged axon tunnel); reporting last measured value")
-        _emit(cached)
-    else:
-        _emit({"metric": "multimodal_predict_throughput", "value": 0.0,
-               "unit": "pairs/sec/chip", "vs_baseline": 0.0,
-               "extra": {"note": "device hang and no cached measurement"}})
+    _emit(_fallback_result(
+        f"device hang: benchmark did not finish within {timeout_s:.0f}s "
+        "(wedged axon tunnel); reporting last measured value"))
     os._exit(0)
 
 

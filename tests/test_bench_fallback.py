@@ -1,0 +1,67 @@
+"""Watchdog fallback of the official benchmark (bench.py).
+
+Round 4's graded BENCH record was a cache echo distinguishable from a
+fresh measurement only by reading a prose note. These tests pin the
+machine-readable contract: a fallback result carries top-level
+``"stale": true`` and preserves the cached ``extra.capture_ts`` of the
+measurement actually being served; a missing cache degrades to a zero
+value that is still marked stale.
+"""
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import bench  # noqa: E402
+
+
+def _cached_result() -> dict:
+    return {
+        "metric": "multimodal_predict_throughput",
+        "value": 5068.5,
+        "unit": "pairs/sec/chip",
+        "vs_baseline": 1.014,
+        "extra": {"batch": 256, "capture_ts": "2026-08-19T22:04:11Z"},
+    }
+
+
+def test_fallback_marks_stale_and_keeps_capture_ts(tmp_path):
+    cache = tmp_path / "cache.json"
+    cache.write_text(json.dumps(_cached_result()))
+
+    out = bench._fallback_result("device hang: test", cache_path=cache)
+
+    assert out["stale"] is True
+    assert out["value"] == 5068.5
+    assert out["extra"]["capture_ts"] == "2026-08-19T22:04:11Z"
+    assert "device hang: test" in out["extra"]["note"]
+    # the emitted line must stay one parseable JSON object
+    assert json.loads(json.dumps(out)) == out
+
+
+def test_fallback_without_cache_is_zero_but_still_stale(tmp_path):
+    out = bench._fallback_result(
+        "device hang: test", cache_path=tmp_path / "missing.json")
+
+    assert out["stale"] is True
+    assert out["value"] == 0.0
+    assert out["vs_baseline"] == 0.0
+    assert "no cached measurement" in out["extra"]["note"]
+
+
+def test_fresh_result_schema_has_no_stale_flag(tmp_path):
+    # The fresh path never sets "stale": its absence IS the freshness
+    # signal. Pin that the fallback is the only writer of the flag.
+    cache = tmp_path / "cache.json"
+    fresh = _cached_result()
+    cache.write_text(json.dumps(fresh))
+    assert "stale" not in fresh
+    assert "stale" in bench._fallback_result("x", cache_path=cache)
+
+
+def test_device_probe_succeeds_on_cpu():
+    # On a live backend (CPU here) the probe returns promptly; only a
+    # wedged device makes it block past its budget.
+    assert bench._device_responsive(60.0) is True
