@@ -578,12 +578,35 @@ FROM_SCRATCH_PRESET: Dict[str, Any] = {
     "training.checkpoint_every_epochs": 20,
 }
 
+# Full-size (12-layer, 3072-intermediate BERT) from-scratch training.
+# The round-4 scale-cliff study (artifacts/round4/text_cliff_lr.json,
+# docs/TRAINING.md "Scale cliff") measured that the 108M-parameter stack
+# pins at the uniform-logits attractor for every lr in the standard
+# range, but DESCENDS at lr=1e-5 — val acc 1.00 in 150 epochs
+# (post_ln_lr1e-05_e150). This preset encodes that measured recipe so it
+# is one --preset flag away instead of a doc paragraph to hand-assemble.
+FROM_SCRATCH_FULLSIZE_PRESET: Dict[str, Any] = {
+    "data.max_text_length": 128,
+    "data.augmentation_factor": 10,
+    "text_encoder.max_length": 128,
+    "training.batch_size": 16,
+    "training.num_epochs": 150,
+    "training.learning_rate": 1e-5,
+    "training.warmup_epochs": 3,
+    "training.scheduler": "cosine",
+    "training.early_stopping": False,  # the descent is slow and monotone
+    "training.best_metric": "val_acc",
+    "training.weight_decay": 0.01,
+    "training.checkpoint_every_epochs": 25,
+}
+
 PRESETS: Dict[str, Dict[str, Any]] = {
     "default": {},
     "multimodal": MULTIMODAL_PRESET,
     "small_data": SMALL_DATA_PRESET,
     "efficientnet_clinicalbert": EFFICIENTNET_CLINICALBERT_PRESET,
     "from_scratch": FROM_SCRATCH_PRESET,
+    "from_scratch_fullsize": FROM_SCRATCH_FULLSIZE_PRESET,
 }
 
 

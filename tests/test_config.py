@@ -97,3 +97,20 @@ def test_compilation_cache_default(tmp_path, monkeypatch):
         assert jax.config.jax_compilation_cache_dir == target
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def test_from_scratch_fullsize_preset_encodes_measured_recipe():
+    """The round-4 scale-cliff recipe (docs/TRAINING.md, artifacts/round4/
+    text_cliff_lr.json: full 12x3072 stack descends only at lr=1e-5,
+    needs >=150 epochs) must be one --preset flag away."""
+    from multimodal_rare_disease_tpu.config import resolve_config
+
+    cfg = resolve_config("from_scratch_fullsize")
+    # full-size tower: BERT-base depth/width, NOT the 6-layer shrink
+    assert cfg.text_encoder.num_layers == 12
+    assert cfg.text_encoder.intermediate_size == 3072
+    # the measured stability threshold and horizon
+    assert cfg.training.learning_rate == 1e-5
+    assert cfg.training.num_epochs >= 150
+    assert cfg.training.warmup_epochs == 3
+    assert cfg.training.early_stopping is False
