@@ -246,13 +246,25 @@ def main(argv=None) -> int:
                         help="let requests reference local image paths")
     parser.add_argument("--paths-root", default=None,
                         help="confine --allow-paths to this directory")
+    parser.add_argument("--mesh", default=None, metavar="DPxTP",
+                        help="serve over a device mesh, e.g. '4x1' = "
+                        "batch-sharded over 4 chips, '4x2' adds Megatron "
+                        "TP of the text tower over 2 (parallel/tp.py); "
+                        "default single-device")
     add_platform_arg(parser)
     args = parser.parse_args(argv)
     configure_platform(args.platform)
 
     from multimodal_rare_disease_tpu.inference import load_predictor
 
-    predictor = load_predictor(args.checkpoint, mode=args.mode)
+    mesh = None
+    if args.mesh:
+        from multimodal_rare_disease_tpu.parallel.mesh import create_mesh
+
+        dp, _, tp = args.mesh.partition("x")
+        mesh = create_mesh(data_axis=int(dp), model_axis=int(tp or 1))
+
+    predictor = load_predictor(args.checkpoint, mode=args.mode, mesh=mesh)
     batcher = MicroBatcher(predictor, window_ms=args.window_ms,
                            max_batch=args.max_batch)
     server = ThreadingHTTPServer(

@@ -15,6 +15,13 @@ root image-only `predict.py`:
 TPU-native: one jitted forward (Pallas fused normalize → encoders →
 fusion → head), fixed batch shapes with padding, so single requests and
 batch-256 streaming share the same compiled program per bucket.
+
+Multi-chip serving: pass a `jax.sharding.Mesh` ('data', 'model') and the
+same compiled buckets run SPMD — inputs batch-sharded over 'data', the
+BERT tower Megatron-sharded over 'model' via `parallel/tp.py`'s specs
+(everything else replicated). XLA's partitioner inserts the collectives;
+the predict code is identical either way. Sharded-vs-single-device
+agreement is pinned by tests/test_predict_sharded.py.
 """
 
 from __future__ import annotations
@@ -68,10 +75,23 @@ class MultimodalPredictor:
         tokenizer: Optional[BertWordPieceTokenizer] = None,
         class_names: Optional[Sequence[str]] = None,
         length_bucketing: bool = True,
+        mesh: Optional["jax.sharding.Mesh"] = None,
     ):
         self.cfg = cfg
         self.mode = mode
         self.length_bucketing = length_bucketing
+        self.mesh = mesh
+        self._data_size = 1
+        if mesh is not None:
+            from multimodal_rare_disease_tpu.parallel.tp import (
+                shard_train_state,
+            )
+
+            # TP placements for the BERT tower over ('model'); every
+            # other leaf — CNN, fusion, head, batch_stats — replicates.
+            params = shard_train_state(mesh, params)
+            batch_stats = shard_train_state(mesh, batch_stats)
+            self._data_size = int(mesh.shape.get("data", 1))
         self.params = params
         self.batch_stats = batch_stats
         self.class_names = list(class_names or SYNDROME_NAMES)
@@ -145,12 +165,28 @@ class MultimodalPredictor:
             mask = np.concatenate([mask, np.tile(mask[-1:], (pad, 1))])
         return ids, mask
 
-    @staticmethod
-    def _bucket(n: int) -> int:
+    def _bucket(self, n: int) -> int:
+        # batch-sharded serving needs buckets divisible by the data axis
+        # (shards must be equal); bucket 1 is skipped on an 8-way mesh
         for b in _BATCH_BUCKETS:
-            if n <= b:
+            if n <= b and b % self._data_size == 0:
                 return b
-        return -(-n // _BATCH_BUCKETS[-1]) * _BATCH_BUCKETS[-1]
+        step = max(_BATCH_BUCKETS[-1], self._data_size)
+        return -(-n // step) * step
+
+    def _place(self, arr: np.ndarray) -> jax.Array:
+        """Host array → device. On a mesh: leading-dim sharded over
+        'data' when divisible (batch rows, packed text rows), else
+        replicated — XLA's SPMD partitioner takes it from there."""
+        if self.mesh is None:
+            return jnp.asarray(arr)
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        spec = (PartitionSpec("data")
+                if arr.ndim >= 1 and arr.shape[0] % self._data_size == 0
+                else PartitionSpec())
+        return jax.device_put(jnp.asarray(arr),
+                              NamedSharding(self.mesh, spec))
 
     # -- prediction --------------------------------------------------------
 
@@ -213,18 +249,18 @@ class MultimodalPredictor:
                 qpos = np.pad(pb.query_positions, ((0, pad_r),
                                                    (0, P2 - P)))
                 out = self._forward_packed(
-                    self.params, self.batch_stats, jnp.asarray(imgs),
-                    jnp.asarray(np.pad(pb.input_ids, ((0, pad_r), (0, 0)))),
-                    jnp.asarray(np.pad(pb.position_ids,
+                    self.params, self.batch_stats, self._place(imgs),
+                    self._place(np.pad(pb.input_ids, ((0, pad_r), (0, 0)))),
+                    self._place(np.pad(pb.position_ids,
                                        ((0, pad_r), (0, 0)))),
-                    jnp.asarray(np.pad(pb.segment_ids,
+                    self._place(np.pad(pb.segment_ids,
                                        ((0, pad_r), (0, 0)))),
-                    jnp.asarray(qpos), jnp.asarray(pb.doc_row),
-                    jnp.asarray(pb.doc_slot))
+                    self._place(qpos), self._place(pb.doc_row),
+                    self._place(pb.doc_slot))
         if out is None:
             out = self._forward(self.params, self.batch_stats,
-                                jnp.asarray(imgs), jnp.asarray(ids),
-                                jnp.asarray(mask), return_embeddings)
+                                self._place(imgs), self._place(ids),
+                                self._place(mask), return_embeddings)
         probs = np.asarray(out["probs"], np.float32)[:n]
         results = []
         for i in range(n):
@@ -293,7 +329,8 @@ class MultimodalPredictor:
 def load_predictor(checkpoint_path: str | Path,
                    mode: Optional[str] = None,
                    cfg: Optional[Config] = None,
-                   tokenizer: Optional[BertWordPieceTokenizer] = None
+                   tokenizer: Optional[BertWordPieceTokenizer] = None,
+                   mesh: Optional["jax.sharding.Mesh"] = None
                    ) -> MultimodalPredictor:
     """Build a predictor from a checkpoint dir (config restored from meta)."""
     params, batch_stats, meta = load_checkpoint(checkpoint_path)
@@ -312,4 +349,5 @@ def load_predictor(checkpoint_path: str | Path,
     batch_stats = jax.tree_util.tree_map(jnp.asarray, batch_stats)
     return MultimodalPredictor(cfg, params, batch_stats, mode=mode,
                                tokenizer=tokenizer,
-                               class_names=meta.get("class_names"))
+                               class_names=meta.get("class_names"),
+                               mesh=mesh)
