@@ -74,6 +74,57 @@ def weighted_ce_loss(logits: jnp.ndarray, labels: jnp.ndarray,
     return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1e-8)
 
 
+# Fraction of device memory the estimated footprint may claim before the
+# HBM-resident corpus mode refuses and falls back to streaming. The rest
+# covers XLA workspace, fragmentation, and estimate error.
+_HBM_SAFETY = 0.75
+
+
+def device_memory_limit_bytes(device=None) -> float:
+    """Per-device memory bound, from the runtime when it reports one
+    (`memory_stats()['bytes_limit']`), else the v5e 16 GB assumption.
+    CPU test devices report none and get a huge bound (the host OS is
+    the real limiter there)."""
+    device = device or jax.devices()[0]
+    try:
+        stats = device.memory_stats() or {}
+        if stats.get("bytes_limit"):
+            return float(stats["bytes_limit"])
+    except Exception:
+        pass
+    return 16e9 if device.platform != "cpu" else 1e15
+
+
+def estimate_train_hbm_bytes(cfg, state, corpus_nbytes: int) -> float:
+    """Conservative pre-flight estimate of the resident train step's peak
+    device footprint: corpus + 4x params (f32 master + Adam mu/nu +
+    gradients; the donated update overlaps old/new state briefly) +
+    batch_stats + per-batch activations (dominated by the conv pyramid;
+    ~32 f32 image-sized planes covers ResNet50's worst stage at batch
+    size B, doubled for the backward residency).
+
+    Exists because the failure mode without it is not an OOM error but a
+    hard TPU worker crash (round 4, artifacts/round4/streaming.json:
+    `hbm_resident.error = "UNAVAILABLE: TPU worker process crashed"`).
+    """
+    param_bytes = sum(
+        np.prod(l.shape) * l.dtype.itemsize
+        for l in jax.tree_util.tree_leaves(state.params)
+        if hasattr(l, "shape"))
+    bs_bytes = sum(
+        np.prod(l.shape) * l.dtype.itemsize
+        for l in jax.tree_util.tree_leaves(state.batch_stats)
+        if hasattr(l, "shape"))
+    B = cfg.training.batch_size
+    S = cfg.data.image_size
+    act_bytes = B * S * S * 3 * 4 * 32 * 2
+    T = cfg.data.max_text_length
+    H = cfg.text_encoder.hidden_size
+    L = cfg.text_encoder.num_layers
+    act_bytes += B * T * H * 4 * (4 * L)  # qkv/ffn residency per layer
+    return float(corpus_nbytes + 4 * param_bytes + bs_bytes + act_bytes)
+
+
 def _model_inputs(mode: str, batch: Dict[str, jnp.ndarray], images):
     if mode == "multimodal":
         return (images, batch["input_ids"], batch["attention_mask"])
@@ -207,12 +258,29 @@ class Trainer:
             host_corpus = self.pipeline.device_corpus()
             nbytes = sum(np.asarray(v).nbytes for v in host_corpus.values())
             budget = float(self.cfg.training.device_corpus_budget_gb) * 1e9
+            total_est = estimate_train_hbm_bytes(self.cfg, self.state,
+                                                 nbytes)
+            limit = device_memory_limit_bytes()
             if nbytes > budget:
                 log.warning(
                     "corpus is %.2f GB > device_corpus_budget_gb=%.1f; "
                     "falling back to streaming host batches (slower per "
                     "epoch; raise the budget to keep it HBM-resident)",
                     nbytes / 1e9, self.cfg.training.device_corpus_budget_gb)
+                self._use_index_mode = False
+            elif total_est > _HBM_SAFETY * limit:
+                # Pre-flight guard: a corpus within the configured budget
+                # can STILL sink the step once params + optimizer moments
+                # + gradients + activations pile on top — round 4's
+                # resident run at 4.1 GB corpus hard-crashed the TPU
+                # worker instead of failing over
+                # (artifacts/round4/streaming.json). Refuse up front.
+                log.warning(
+                    "estimated train-step footprint %.2f GB (corpus %.2f "
+                    "+ params/optimizer/activations) exceeds %d%% of "
+                    "device memory (%.1f GB); falling back to streaming "
+                    "host batches", total_est / 1e9, nbytes / 1e9,
+                    int(_HBM_SAFETY * 100), limit / 1e9)
                 self._use_index_mode = False
             else:
                 rep = replicated_sharding(self.mesh)

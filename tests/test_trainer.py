@@ -192,6 +192,47 @@ def test_streaming_fallback_with_prefetch(tmp_path):
     assert (tmp_path / "image_only_best" / "arrays").exists()
 
 
+def test_estimate_train_hbm_bytes_components():
+    """The pre-flight estimate must scale with its inputs: corpus bytes
+    pass straight through, params count 4x (master + mu + nu + grads)."""
+    from types import SimpleNamespace
+
+    from multimodal_rare_disease_tpu.train.trainer import (
+        estimate_train_hbm_bytes,
+    )
+
+    cfg = small_cfg()
+    state = SimpleNamespace(
+        params={"w": np.zeros((1000, 1000), np.float32)},
+        batch_stats={"m": np.zeros((64,), np.float32)})
+    base = estimate_train_hbm_bytes(cfg, state, corpus_nbytes=0)
+    assert base >= 4 * 4_000_000  # 4x the 4 MB param block
+    with_corpus = estimate_train_hbm_bytes(cfg, state,
+                                           corpus_nbytes=10**9)
+    assert with_corpus == pytest.approx(base + 10**9)
+
+
+@pytest.mark.skipif(not REF_IMAGES.is_dir(), reason="reference corpus absent")
+def test_hbm_preflight_guard_falls_back(tmp_path, monkeypatch):
+    """A corpus within device_corpus_budget_gb must STILL fall back to
+    streaming when corpus + params + optimizer + activations exceed the
+    device memory bound — round 4's resident run hard-crashed the TPU
+    worker instead (artifacts/round4/streaming.json). The guard refuses
+    BEFORE any upload."""
+    import multimodal_rare_disease_tpu.train.trainer as trainer_mod
+
+    monkeypatch.setattr(trainer_mod, "device_memory_limit_bytes",
+                        lambda device=None: 1e6)  # 1 MB "device"
+    cfg = small_cfg()  # default 4 GB budget: corpus passes the old check
+    pipeline = DataPipeline(cfg, mode="image_only",
+                            image_dir=str(REF_IMAGES))
+    trainer = Trainer(cfg, mode="image_only", pipeline=pipeline,
+                      workdir=str(tmp_path))
+    trainer.init_state()
+    assert trainer._use_index_mode is False
+    assert trainer._corpus is None  # nothing was uploaded
+
+
 def test_prefetched_yields_all_batches_in_order():
     cfg = small_cfg()
     trainer = Trainer.__new__(Trainer)  # no model build needed
