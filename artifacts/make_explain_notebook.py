@@ -22,6 +22,9 @@ Requires a trained multimodal checkpoint (`checkpoints/multimodal_best`,
 produced by `python -m multimodal_rare_disease_tpu.cli.train`)."""))
 
 cells.append(nbf.v4.new_code_cell("""\
+import os
+import subprocess
+import sys
 from collections import defaultdict
 from pathlib import Path
 
@@ -35,11 +38,26 @@ from multimodal_rare_disease_tpu.explain import (
     GradCAM, cross_modal_attention_summary, overlay_heatmap, text_token_attention)
 from multimodal_rare_disease_tpu.inference import load_predictor
 
+if os.environ.get("NB_PLATFORM"):  # e.g. "cpu" to keep the device free
+    import jax
+    jax.config.update("jax_platforms", os.environ["NB_PLATFORM"])
+
 # Prefer the round-2 trained flagship when present (checkpoints aren't
 # committed; `checkpoints/` may hold a later experiment's model).
-CHECKPOINT = next(p for p in ("../checkpoints_r2/multimodal_best",
-                              "../checkpoints/multimodal_best")
-                  if Path(p).exists())
+CHECKPOINT = next((p for p in ("../checkpoints_r2/multimodal_best",
+                               "../checkpoints/multimodal_best")
+                   if Path(p).exists()), None)
+if CHECKPOINT is None:
+    # Train one if missing — as a SUBPROCESS, and before this kernel's
+    # first device computation: the axon tunnel admits one compute
+    # client at a time, so the trainer must hold and release the device
+    # before load_predictor below claims it.
+    print("no checkpoint found; training one (this takes a few minutes)")
+    subprocess.run([sys.executable, "-m",
+                    "multimodal_rare_disease_tpu.cli.train",
+                    "--mode", "multimodal", "--epochs", "12",
+                    "--checkpoint-dir", "../checkpoints"], check=True)
+    CHECKPOINT = "../checkpoints/multimodal_best"
 OUTDIR = Path("../results/explain_notebook"); OUTDIR.mkdir(parents=True, exist_ok=True)
 
 predictor = load_predictor(CHECKPOINT)
@@ -83,7 +101,7 @@ for ax, (img_path, text, name) in zip(axes.ravel(), samples):
     ax.set_title(f"{name}\\n-> {pred}", fontsize=9)
     ax.axis("off")
 fig.tight_layout(); fig.savefig(OUTDIR / "gradcam_grid.png", dpi=110)
-plt.show()"""))
+fig"""))
 
 cells.append(nbf.v4.new_markdown_cell("""\
 ## Text-token attention
@@ -103,7 +121,7 @@ fig, ax = plt.subplots(figsize=(7, 5))
 ax.barh(tokens, weights, color="#2b7bba")
 ax.set_xlabel("mean CLS attention"); ax.set_title(f"{name}: top tokens")
 fig.tight_layout(); fig.savefig(OUTDIR / "text_attention.png", dpi=110)
-plt.show()"""))
+fig"""))
 
 cells.append(nbf.v4.new_markdown_cell("""\
 ## Cross-modal attention
@@ -131,7 +149,7 @@ for ax, direction in zip(np.atleast_1d(axes), dirs):
     ax.set_title(f"{direction} (head-avg)")
     ax.set_xlabel("position"); ax.set_ylabel("weight")
 fig.tight_layout(); fig.savefig(OUTDIR / "cross_modal.png", dpi=110)
-plt.show()"""))
+fig"""))
 
 cells.append(nbf.v4.new_markdown_cell("""\
 ## Full batch analysis — every syndrome, with an accuracy tally"""))

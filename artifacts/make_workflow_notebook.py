@@ -26,8 +26,11 @@ with offline augmentation, train the multimodal (image + clinical text)
 model, run single-sample predictions with the JSON contract, and produce
 the evaluation artifact set (confusion matrix, per-class metrics).
 
-Every step shells out to the same CLIs a user would run, so this
-notebook doubles as living documentation of the command surface.""")
+Heavy steps shell out to the same CLIs a user would run, so this
+notebook doubles as living documentation of the command surface; the
+batched syndrome-prediction step instead demonstrates the Python API
+(`load_predictor` / `predict_batch`) — one compiled XLA program for the
+whole batch.""")
 
 code("""\
 # 1. Setup — verify the environment (no installs needed; jax/flax baked in)
@@ -41,6 +44,15 @@ import matplotlib.pyplot as plt
 import numpy as np
 
 import jax
+
+# The axon TPU tunnel on this box grants device compute to ONE client
+# process at a time: a second client's first computation blocks until
+# the holder exits. The TPU-heavy steps below run as CLI subprocesses
+# (strictly sequential, each releasing the device on exit), so THIS
+# kernel stays on CPU — otherwise the in-kernel API cells would
+# deadlock against the subprocesses. On Colab/a dedicated host, drop
+# this pin (or set NB_PLATFORM) and the kernel uses the device directly.
+jax.config.update("jax_platforms", os.environ.get("NB_PLATFORM", "cpu"))
 
 WORK = Path(os.environ.get("WORKFLOW_DIR", "/tmp/mrd_workflow"))
 WORK.mkdir(parents=True, exist_ok=True)
@@ -62,7 +74,8 @@ def run(cmd, **kw):
     return r
 
 print("python", sys.version.split()[0])
-print("jax", jax.__version__, "devices:", jax.devices())""")
+print("jax", jax.__version__, "kernel devices:", jax.devices(),
+      "(accelerator work runs in the CLI subprocesses)")""")
 
 md("""\
 ## 2. Generate augmented training data
@@ -102,7 +115,8 @@ for ax, (name, ss) in zip(axes.ravel(), sorted(by_class.items())):
     ax.imshow(load_image_uint8(ss[0].path, 128))
     ax.set_title(name, fontsize=8)
     ax.axis("off")
-plt.tight_layout(); plt.show()""")
+plt.tight_layout()
+fig""")
 
 md("""\
 ## 3. Train the multimodal model

@@ -221,13 +221,10 @@ class TextEncoderConfig:
     freeze_layers: int = 0
     dropout: float = 0.1
     use_pooler_output: bool = False  # CLS token when False
-    # Pallas fused attention on the inference path (QK^T→softmax→AV in
-    # VMEM, no HBM score tensor). Off by default: at T=128/B=256 on v5e
-    # the per-(batch,head) grid overhead outweighs the saved score
-    # traffic (measured 2.46k vs 3.48k pairs/s) — XLA's batched einsum
-    # wins at these shapes. Kept as a tested capability for longer
-    # sequences.
-    fused_attention: bool = False
+    # (A `fused_attention` Pallas MHA kernel lived here through round 4;
+    # measured slower than XLA's batched einsum in BOTH round 2 and
+    # round 3 at every shape this workload has, it was deleted per the
+    # docs/PERF.md deletion policy — see that file's graveyard section.)
     # Pallas fused FFN sublayer LN(x + gelu(x@w1+b1)@w2 + b2) at
     # inference: the [M, 3072] intermediate stays in VMEM instead of a
     # full HBM round trip — measured 2.983 vs 3.402 ms/layer on v5e at

@@ -114,7 +114,6 @@ class BertSelfAttention(nn.Module):
     hidden_size: int
     num_heads: int
     dropout: float
-    fused_attention: bool = True
     quantized: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
@@ -240,26 +239,20 @@ class BertSelfAttention(nn.Module):
             else:
                 attention_bias = attention_bias[:, :, :1]
 
-        use_pallas = (self.fused_attention and not train and not cls_query_only
-                      and not output_attentions and attention_mask is not None)
-        if use_pallas:
-            # Pallas kernel: QK^T→softmax→AV entirely in VMEM, no HBM
-            # score materialization (ops/pallas/attention.py)
-            from multimodal_rare_disease_tpu.ops.pallas.attention import (
-                fused_mha,
-            )
-
-            ctx = fused_mha(q, k, v, attention_mask).astype(self.dtype)
-            probs = None
-        else:
-            scores = jnp.einsum("bthd,bshd->bhts", q, k) \
-                / jnp.sqrt(d).astype(self.dtype)
-            scores = scores + attention_bias  # [B,1,1,T] additive mask
-            probs = nn.softmax(scores.astype(jnp.float32),
-                               axis=-1).astype(self.dtype)
-            probs_dropped = nn.Dropout(rate=self.dropout)(
-                probs, deterministic=not train)
-            ctx = jnp.einsum("bhts,bshd->bthd", probs_dropped, v)
+        # XLA's batched einsum + convert/max/exp/div softmax fusion IS the
+        # fast path at every shape this workload has: a Pallas fused-MHA
+        # kernel (`fused_attention`) was measured slower in round 2
+        # (0.37 vs 0.98-1.49 ms/layer, artifacts/PERF_R2.md) and again in
+        # round 3 (2.6x, artifacts/PERF_R3.md) and deleted per the
+        # docs/PERF.md deletion policy (see its graveyard section).
+        scores = jnp.einsum("bthd,bshd->bhts", q, k) \
+            / jnp.sqrt(d).astype(self.dtype)
+        scores = scores + attention_bias  # [B,1,1,T] additive mask
+        probs = nn.softmax(scores.astype(jnp.float32),
+                           axis=-1).astype(self.dtype)
+        probs_dropped = nn.Dropout(rate=self.dropout)(
+            probs, deterministic=not train)
+        ctx = jnp.einsum("bhts,bshd->bthd", probs_dropped, v)
         if pad_t and not cls_query_only:
             ctx = ctx[:, :T]  # drop the padded query rows
         if flat:
@@ -282,7 +275,6 @@ class BertLayer(nn.Module):
     num_heads: int
     intermediate_size: int
     dropout: float
-    fused_attention: bool = True
     fused_ffn: bool = True
     fused_attn_out: bool = False
     quantized: bool = False
@@ -343,7 +335,7 @@ class BertLayer(nn.Module):
         attn_in = ln_att(_fb(hidden)) if self.pre_ln else hidden
         attn_out, probs = BertSelfAttention(
             self.hidden_size, self.num_heads, self.dropout,
-            fused_attention=self.fused_attention, quantized=self.quantized,
+            quantized=self.quantized,
             dtype=self.dtype, param_dtype=self.param_dtype, name="attention",
         )(attn_in, attention_bias, attention_mask=attention_mask, train=train,
           output_attentions=output_attentions, cls_query_only=cls_only,
@@ -455,7 +447,6 @@ class BertEncoder(nn.Module):
     max_position_embeddings: int = 512
     type_vocab_size: int = 2
     dropout: float = 0.1
-    fused_attention: bool = True
     fused_ffn: bool = True
     fused_attn_out: bool = False
     quantized: bool = False
@@ -558,7 +549,7 @@ class BertEncoder(nn.Module):
         for i in range(self.num_layers):
             hidden, probs = BertLayer(
                 self.hidden_size, self.num_heads, self.intermediate_size,
-                self.dropout, fused_attention=self.fused_attention,
+                self.dropout,
                 fused_ffn=self.fused_ffn,
                 fused_attn_out=self.fused_attn_out,
                 quantized=self.quantized, pre_ln=self.pre_ln,
@@ -630,7 +621,6 @@ class TextEncoder(nn.Module):
     dropout: float = 0.1
     use_pooler_output: bool = False
     projection_dim: int = 0  # 0 = no projection (raw 768-d)
-    fused_attention: bool = True
     fused_ffn: bool = True
     fused_attn_out: bool = False
     quantized: bool = False
@@ -650,7 +640,6 @@ class TextEncoder(nn.Module):
             max_position_embeddings=self.max_position_embeddings,
             type_vocab_size=self.type_vocab_size,
             dropout=self.bert_dropout,
-            fused_attention=self.fused_attention,
             fused_ffn=self.fused_ffn,
             fused_attn_out=self.fused_attn_out,
             quantized=self.quantized,
@@ -723,7 +712,6 @@ def create_text_encoder(
         dropout=cfg.dropout,
         use_pooler_output=cfg.use_pooler_output,
         projection_dim=projection_dim,
-        fused_attention=cfg.fused_attention,
         fused_ffn=getattr(cfg, "fused_ffn", True),
         fused_attn_out=getattr(cfg, "fused_attn_out", False),
         quantized=cfg.quantized_inference,

@@ -67,7 +67,7 @@ def test_bert_layer_fused_attn_out_matches_classic():
 
     kw = dict(vocab_size=50, hidden_size=H, num_layers=2, num_heads=heads,
               intermediate_size=F, max_position_embeddings=T,
-              fused_attention=False, fused_ffn=False, dtype=jnp.float32)
+              fused_ffn=False, dtype=jnp.float32)
     classic = BertEncoder(fused_attn_out=False, **kw)
     fused = BertEncoder(fused_attn_out=True, **kw)
     variables = classic.init(jax.random.key(0), ids, mask)
@@ -93,8 +93,7 @@ def test_attention_lane_padding_is_exact():
     rng = np.random.default_rng(3)
     enc = BertEncoder(vocab_size=60, hidden_size=H, num_layers=2,
                       num_heads=heads, intermediate_size=256,
-                      max_position_embeddings=256, fused_attention=False,
-                      fused_ffn=False, dtype=jnp.float32)
+                      max_position_embeddings=256, fused_ffn=False, dtype=jnp.float32)
     T = 96
     ids = np.asarray(rng.integers(1, 60, (B, T)), np.int32)
     lens = np.array([50, 96, 77])

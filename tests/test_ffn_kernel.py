@@ -105,7 +105,7 @@ def test_bert_layer_fused_matches_classic():
 
     kw = dict(vocab_size=50, hidden_size=H, num_layers=2, num_heads=heads,
               intermediate_size=F, max_position_embeddings=T,
-              fused_attention=False, dtype=jnp.float32)
+              dtype=jnp.float32)
     classic = BertEncoder(fused_ffn=False, **kw)
     fused = BertEncoder(fused_ffn=True, **kw)
     variables = classic.init(jax.random.key(0), ids, mask)
@@ -129,7 +129,7 @@ def test_bert_layer_fused_param_tree_identical():
     mask = jnp.ones((B, T), jnp.int32)
     kw = dict(vocab_size=50, hidden_size=128, num_layers=1, num_heads=2,
               intermediate_size=256, max_position_embeddings=T,
-              fused_attention=False, dtype=jnp.float32)
+              dtype=jnp.float32)
     v_classic = BertEncoder(fused_ffn=False, **kw).init(
         jax.random.key(0), ids, mask)
     ffn_mod.FORCE_INTERPRET = True

@@ -221,7 +221,7 @@ def test_bert_flat_residual_stream_equals_classic():
 
     kw = dict(vocab_size=128, hidden_size=32, num_layers=3, num_heads=4,
               intermediate_size=64, max_position_embeddings=64, dropout=0.0,
-              fused_attention=False)
+              )
     enc_f = BertEncoder(flat_residual=True, **kw)
     enc_c = BertEncoder(flat_residual=False, **kw)
     rng = np.random.default_rng(1)

@@ -73,8 +73,7 @@ def test_packed_bert_bit_exact_vs_unpacked():
     ids, mask, lens = _toy_batch(rng, n, tmax)
     enc = BertEncoder(vocab_size=90, hidden_size=64, num_layers=2,
                       num_heads=4, intermediate_size=128,
-                      max_position_embeddings=128, fused_attention=False,
-                      dtype=jnp.float32)
+                      max_position_embeddings=128, dtype=jnp.float32)
     v = enc.init(jax.random.key(0), jnp.asarray(ids[:1]),
                  jnp.asarray(mask[:1]))
 
@@ -99,8 +98,7 @@ def test_packed_bert_bit_exact_without_cls_only():
     ids, mask, _ = _toy_batch(rng, 7)
     enc = BertEncoder(vocab_size=90, hidden_size=64, num_layers=1,
                       num_heads=4, intermediate_size=128,
-                      max_position_embeddings=128, fused_attention=False,
-                      dtype=jnp.float32)
+                      max_position_embeddings=128, dtype=jnp.float32)
     v = enc.init(jax.random.key(0), jnp.asarray(ids[:1]),
                  jnp.asarray(mask[:1]))
     ref = np.asarray(enc.apply(v, jnp.asarray(ids),

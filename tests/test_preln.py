@@ -40,8 +40,7 @@ def _init_layer(pre_ln: bool):
     mask = np.ones((B, T), np.int32)
     mask[1, 5:] = 0
     bias = jnp.asarray((1.0 - mask[:, None, None, :]) * -1e9, jnp.float32)
-    layer = BertLayer(H, HEADS, F, dropout=0.0, fused_attention=False,
-                      fused_ffn=False, pre_ln=pre_ln, dtype=jnp.float32)
+    layer = BertLayer(H, HEADS, F, dropout=0.0, fused_ffn=False, pre_ln=pre_ln, dtype=jnp.float32)
     variables = layer.init(jax.random.key(0), x, bias)
     return layer, variables, x, bias
 
@@ -107,7 +106,7 @@ def test_pre_ln_encoder_tree_is_post_ln_plus_final_ln():
     mask = jnp.ones((B, T), jnp.int32)
     kw = dict(vocab_size=50, hidden_size=H, num_layers=2, num_heads=HEADS,
               intermediate_size=F, max_position_embeddings=T,
-              fused_attention=False, fused_ffn=False, dtype=jnp.float32)
+              fused_ffn=False, dtype=jnp.float32)
     v_post = BertEncoder(pre_ln=False, **kw).init(jax.random.key(0), ids, mask)
     v_pre = BertEncoder(pre_ln=True, **kw).init(jax.random.key(0), ids, mask)
     post_keys = set(v_post["params"])
@@ -132,7 +131,6 @@ def test_pre_ln_final_ln_applied_before_readout():
     enc = BertEncoder(vocab_size=50, hidden_size=H, num_layers=1,
                       num_heads=HEADS, intermediate_size=F,
                       max_position_embeddings=T, dropout=0.0,
-                      fused_attention=False,
                       fused_ffn=False, pre_ln=True, dtype=jnp.float32)
     v = enc.init(jax.random.key(1), ids, mask)
     out = np.asarray(

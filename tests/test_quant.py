@@ -65,7 +65,7 @@ def test_bert_quantized_close_to_f32():
                       jnp.int32)
     mask = jnp.ones((2, 32), jnp.int32)
     kw = dict(vocab_size=100, hidden_size=64, num_layers=2, num_heads=4,
-              intermediate_size=128, dropout=0.0, fused_attention=False)
+              intermediate_size=128, dropout=0.0, )
     enc_f = BertEncoder(quantized=False, **kw)
     enc_q = BertEncoder(quantized=True, **kw)
     variables = enc_f.init(jax.random.key(0), ids, mask)
@@ -83,7 +83,7 @@ def test_quantized_training_path_unaffected():
     mask = jnp.ones((1, 8), jnp.int32)
     enc = BertEncoder(vocab_size=50, hidden_size=32, num_layers=1,
                       num_heads=2, intermediate_size=64, dropout=0.0,
-                      quantized=True, fused_attention=False)
+                      quantized=True, )
     variables = enc.init(jax.random.key(0), ids, mask)
 
     def loss(params):

@@ -60,30 +60,6 @@ def test_fused_normalize_compiled_matches_interpret_and_xla():
 
 
 @_SKIP
-def test_fused_mha_compiled_matches_interpret_and_xla():
-    from multimodal_rare_disease_tpu.ops.pallas import attention as att
-
-    rng = np.random.default_rng(1)
-    B, T, H, D = 4, 128, 12, 64
-    q = jnp.asarray(rng.normal(size=(B, T, H, D)), jnp.bfloat16)
-    k = jnp.asarray(rng.normal(size=(B, T, H, D)), jnp.bfloat16)
-    v = jnp.asarray(rng.normal(size=(B, T, H, D)), jnp.bfloat16)
-    mask = jnp.asarray(
-        (np.arange(T)[None, :] < rng.integers(T // 2, T + 1, (B, 1)))
-        .astype(np.int32))
-    bias = (1.0 - mask[:, None, :].astype(jnp.float32)) * -1e9
-
-    compiled = np.asarray(att._fused_mha_impl(
-        q, k, v, bias, num_heads=H, interpret=False), np.float32)
-    interp = np.asarray(att._fused_mha_impl(
-        q, k, v, bias, num_heads=H, interpret=True), np.float32)
-    xla = np.asarray(att.mha_reference(q, k, v, mask), np.float32)
-
-    np.testing.assert_allclose(compiled, interp, atol=2e-2)
-    np.testing.assert_allclose(compiled, xla, atol=2e-2)
-
-
-@_SKIP
 def test_fused_ffn_ln_compiled_matches_interpret_and_reference():
     from multimodal_rare_disease_tpu.ops.pallas.ffn import (
         ffn_ln_reference, fused_ffn_ln)
@@ -172,8 +148,7 @@ def test_attention_lane_padding_exact_on_chip():
     B, T = 8, 96
     enc = BertEncoder(vocab_size=200, hidden_size=768, num_layers=2,
                       num_heads=12, intermediate_size=3072,
-                      max_position_embeddings=256, fused_attention=False,
-                      dtype=jnp.bfloat16)
+                      max_position_embeddings=256, dtype=jnp.bfloat16)
     ids = np.asarray(rng.integers(1, 200, (B, T)), np.int32)
     lens = rng.integers(70, T + 1, size=(B, 1))
     mask = (np.arange(T)[None] < lens).astype(np.int32)
@@ -224,8 +199,7 @@ def test_packed_forward_matches_classic_on_chip():
     n, T = 16, 128
     enc = BertEncoder(vocab_size=200, hidden_size=768, num_layers=2,
                       num_heads=12, intermediate_size=3072,
-                      max_position_embeddings=256, fused_attention=False,
-                      dtype=jnp.bfloat16)
+                      max_position_embeddings=256, dtype=jnp.bfloat16)
     ids = np.zeros((n, T), np.int32)
     mask = np.zeros((n, T), np.int32)
     for i, l in enumerate(rng.integers(75, 96, size=n)):
