@@ -15,6 +15,7 @@ Run on the real chip: python artifacts/exp_streaming.py [n_images]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -25,7 +26,7 @@ from multimodal_rare_disease_tpu.config import resolve_config
 from multimodal_rare_disease_tpu.train import Trainer
 from multimodal_rare_disease_tpu.train.pipeline import DataPipeline
 
-OUT = Path(__file__).parent / "round4"
+OUT = Path(__file__).parent / os.environ.get("MRD_STREAM_DIR", "round4")
 OUT.mkdir(exist_ok=True)
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 21000
