@@ -52,10 +52,15 @@ if CHECKPOINT is None:
     # first device computation: the axon tunnel admits one compute
     # client at a time, so the trainer must hold and release the device
     # before load_predictor below claims it.
-    print("no checkpoint found; training one (this takes a few minutes)")
+    # From-scratch recipe (no pretrained weights in this environment):
+    # the preset needs its full step budget and NO early stopping —
+    # patience 15 fires inside the ~20-epoch random plateau
+    # (docs/TRAINING.md "from-scratch plateau").
+    print("no checkpoint found; training one (tens of minutes)")
     subprocess.run([sys.executable, "-m",
                     "multimodal_rare_disease_tpu.cli.train",
-                    "--mode", "multimodal", "--epochs", "12",
+                    "--mode", "multimodal", "--epochs", "40",
+                    "--set", "training.early_stopping=False",
                     "--checkpoint-dir", "../checkpoints"], check=True)
     CHECKPOINT = "../checkpoints/multimodal_best"
 OUTDIR = Path("../results/explain_notebook"); OUTDIR.mkdir(parents=True, exist_ok=True)

@@ -57,9 +57,11 @@ jax.config.update("jax_platforms", os.environ.get("NB_PLATFORM", "cpu"))
 WORK = Path(os.environ.get("WORKFLOW_DIR", "/tmp/mrd_workflow"))
 WORK.mkdir(parents=True, exist_ok=True)
 
-# Scale knobs. The committed execution uses a small-but-real setting so
-# the notebook runs headlessly in minutes; the reference-scale run is
-# AUG_PER_IMAGE=10 (50 -> 550), EPOCHS=60.
+# Scale knobs. These defaults ARE the real from-scratch recipe (x10
+# offline augmentation, 40 epochs — roughly the reference Colab's
+# 60-epoch run); expect ~an hour headless, most of it the XLA compile
+# and the pre-takeoff plateau. Set WORKFLOW_EPOCHS small only for
+# pipeline smoke tests — the model will NOT have taken off.
 AUG_PER_IMAGE = int(os.environ.get("WORKFLOW_AUG", "10"))   # 50 -> 550 images
 EPOCHS = int(os.environ.get("WORKFLOW_EPOCHS", "40"))
 

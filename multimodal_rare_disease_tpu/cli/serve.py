@@ -261,8 +261,13 @@ def main(argv=None) -> int:
     if args.mesh:
         from multimodal_rare_disease_tpu.parallel.mesh import create_mesh
 
-        dp, _, tp = args.mesh.partition("x")
-        mesh = create_mesh(data_axis=int(dp), model_axis=int(tp or 1))
+        dp, _, tp = args.mesh.lower().partition("x")
+        try:
+            data_axis, model_axis = int(dp), int(tp or 1)
+        except ValueError:
+            parser.error(f"--mesh {args.mesh!r}: expected DPxTP, e.g. "
+                         "'4x1' or '4x2'")
+        mesh = create_mesh(data_axis=data_axis, model_axis=model_axis)
 
     predictor = load_predictor(args.checkpoint, mode=args.mode, mesh=mesh)
     batcher = MicroBatcher(predictor, window_ms=args.window_ms,

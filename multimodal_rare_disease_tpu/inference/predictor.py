@@ -168,11 +168,19 @@ class MultimodalPredictor:
     def _bucket(self, n: int) -> int:
         # batch-sharded serving needs buckets divisible by the data axis
         # (shards must be equal); bucket 1 is skipped on an 8-way mesh
+        d = self._data_size
         for b in _BATCH_BUCKETS:
-            if n <= b and b % self._data_size == 0:
+            if n <= b and b % d == 0:
                 return b
-        step = max(_BATCH_BUCKETS[-1], self._data_size)
-        return -(-n // step) * step
+        # No standard bucket both fits n and divides the data axis
+        # (overflow batches, or axis sizes like 6 that divide no listed
+        # bucket): round up to a multiple of lcm(8, d) — equal shards on
+        # any axis, 8-aligned. Single-device overflow keeps the
+        # 256-multiple granularity.
+        import math
+
+        step = _BATCH_BUCKETS[-1] if d == 1 else math.lcm(8, d)
+        return -(-max(n, 1) // step) * step
 
     def _place(self, arr: np.ndarray) -> jax.Array:
         """Host array → device. On a mesh: leading-dim sharded over
