@@ -134,9 +134,13 @@ def probe_default_backend(timeout_s: float = 120.0) -> Dict[str, Any]:
 
 
 def add_config_args(parser: argparse.ArgumentParser) -> None:
+    from multimodal_rare_disease_tpu.config import PRESETS
+
+    # choices derive from the PRESETS registry so a preset added in
+    # config.py is immediately reachable from every CLI (a hardcoded
+    # list silently rejected `from_scratch_fullsize` when it landed).
     parser.add_argument("--preset", default=None,
-                        choices=["default", "multimodal", "small_data",
-                                 "efficientnet_clinicalbert", "from_scratch"],
+                        choices=sorted(PRESETS),
                         help="config preset (default: inferred from mode)")
     parser.add_argument("--set", dest="overrides", action="append", default=[],
                         metavar="KEY=VALUE",

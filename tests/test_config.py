@@ -114,3 +114,19 @@ def test_from_scratch_fullsize_preset_encodes_measured_recipe():
     assert cfg.training.num_epochs >= 150
     assert cfg.training.warmup_epochs == 3
     assert cfg.training.early_stopping is False
+
+
+def test_cli_preset_choices_track_registry():
+    """Every PRESETS key must be accepted by the CLI --preset flag — a
+    hardcoded choices list rejected from_scratch_fullsize when it landed
+    (round-5 regression)."""
+    import argparse
+
+    from multimodal_rare_disease_tpu.cli._common import add_config_args
+    from multimodal_rare_disease_tpu.config import PRESETS
+
+    parser = argparse.ArgumentParser()
+    add_config_args(parser)
+    for name in PRESETS:
+        args = parser.parse_args(["--preset", name])
+        assert args.preset == name
