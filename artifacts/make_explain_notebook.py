@@ -31,7 +31,7 @@ from pathlib import Path
 import numpy as np
 import matplotlib.pyplot as plt
 
-from multimodal_rare_disease_tpu.config import find_image_dir
+from multimodal_rare_disease_tpu.config import find_image_dir, resolve_config
 from multimodal_rare_disease_tpu.data.clinical_text import load_clinical_descriptions
 from multimodal_rare_disease_tpu.data.images import load_image_uint8, scan_image_corpus
 from multimodal_rare_disease_tpu.explain import (
@@ -48,18 +48,30 @@ CHECKPOINT = next((p for p in ("../checkpoints_r2/multimodal_best",
                                "../checkpoints/multimodal_best")
                    if Path(p).exists()), None)
 if CHECKPOINT is None:
-    # Train one if missing — as a SUBPROCESS, and before this kernel's
+    # Train one if missing — as SUBPROCESSES, and before this kernel's
     # first device computation: the axon tunnel admits one compute
     # client at a time, so the trainer must hold and release the device
     # before load_predictor below claims it.
-    # From-scratch recipe (no pretrained weights in this environment):
-    # the preset needs its full step budget and NO early stopping —
-    # patience 15 fires inside the ~20-epoch random plateau
-    # (docs/TRAINING.md "from-scratch plateau").
+    # From-scratch recipe (no pretrained weights in this environment) —
+    # the SAME one workflow.ipynb uses, because it is the measured one:
+    #   1. offline-augment 50 -> 550 images first. The ~300-1100-step
+    #      random plateau (docs/TRAINING.md) breaks only if each epoch
+    #      supplies enough optimizer steps; on the raw 50-image corpus
+    #      the cosine schedule decays away before takeoff (measured:
+    #      23 epochs flat at loss = ln 10, round-5 log).
+    #   2. full epoch budget, NO early stopping — patience 15 fires
+    #      inside the plateau.
     print("no checkpoint found; training one (tens of minutes)")
+    aug = Path("../data_work/images_augmented")
+    if not aug.is_dir():
+        subprocess.run([sys.executable, "-m",
+                        "multimodal_rare_disease_tpu.cli.augment_data",
+                        "--src", str(find_image_dir(resolve_config("multimodal"))),
+                        "--out", str(aug), "--num", "10"], check=True)
     subprocess.run([sys.executable, "-m",
                     "multimodal_rare_disease_tpu.cli.train",
                     "--mode", "multimodal", "--epochs", "40",
+                    "--image-dir", str(aug),
                     "--set", "training.early_stopping=False",
                     "--checkpoint-dir", "../checkpoints"], check=True)
     CHECKPOINT = "../checkpoints/multimodal_best"
