@@ -247,14 +247,21 @@ def _fallback_result(note: str, cache_path: Path = _CACHE) -> dict:
     return cached
 
 
-def _device_responsive(budget_s: float) -> bool:
+def _device_responsive(budget_s: float) -> float:
     """Pre-flight probe: one tiny device computation + host readback,
-    bounded by ``budget_s``. On a wedged axon tunnel (a killed client's
-    grant held with an infinite claim timeout) ANY device compute hangs
-    forever — this detects that state in seconds instead of letting the
-    full benchmark eat the whole watchdog budget (round 4 hung 1200 s
-    before falling back)."""
+    bounded by ``budget_s``. Returns the wait in seconds, or -1 on
+    timeout.
+
+    The axon tunnel QUEUES the device claim rather than failing it:
+    after a clean client exit the next claim is granted in ~10 s, but
+    after an unclean client death (SIGKILL'd trainer, hard-killed
+    notebook kernel) the grant takes minutes — measured 414 s worst
+    case, round-4's "wedge" took ~30 min. The probe therefore WAITS on
+    one pending claim (the claim stays queued server-side; re-issuing
+    from fresh processes only resets the queue position) instead of
+    declaring a hang after a short window."""
     ok = threading.Event()
+    t0 = time.time()
 
     def _probe():
         import jax
@@ -263,28 +270,31 @@ def _device_responsive(budget_s: float) -> bool:
         ok.set()
 
     threading.Thread(target=_probe, daemon=True).start()
-    return ok.wait(budget_s)
+    return (time.time() - t0) if ok.wait(budget_s) else -1.0
 
 
 def _run_with_watchdog() -> None:
     """Run the benchmark with two layers of hang protection:
 
-    1. A cheap device probe first (default 90 s, retried once after a
-       30 s grace) — a wedged tunnel fails over to the stale cached
-       result in ~3 minutes, not 20.
+    1. A device-claim wait first (default 480 s — past the measured
+       ~414 s worst-case grant delay behind an uncleanly-died client) —
+       a genuinely dead tunnel fails over to the stale cached result.
     2. The full-run watchdog (default 1200 s) for anything slower than
        a hang (e.g. pathological compile) — same stale fallback."""
-    probe_s = float(os.environ.get("BENCH_PROBE_TIMEOUT_S", "90"))
+    probe_s = float(os.environ.get("BENCH_PROBE_TIMEOUT_S", "480"))
     timeout_s = float(os.environ.get("BENCH_TIMEOUT_S", "1200"))
 
-    if probe_s > 0 and not _device_responsive(probe_s):
-        time.sleep(30)
-        if not _device_responsive(probe_s):
+    if probe_s > 0:
+        waited = _device_responsive(probe_s)
+        if waited < 0:
             _emit(_fallback_result(
-                f"device hang: pre-flight probe failed twice within "
-                f"{probe_s:.0f}s (wedged axon tunnel); reporting last "
-                "measured value"))
+                f"device hang: claim not granted within {probe_s:.0f}s "
+                "(axon tunnel down, or a dead client's grant still "
+                "held); reporting last measured value"))
             os._exit(0)
+        if waited > 30:
+            print(f"# device claim waited {waited:.0f}s (queued behind "
+                  "a dead client's grant)", file=sys.stderr)
 
     done = threading.Event()
 
